@@ -1,0 +1,10 @@
+from .nifti import NiftiImage, load_nifti, save_nifti
+from .dataset import (
+    Dataset,
+    CacheDataset,
+    DataLoader,
+    load_decathlon_datalist,
+    partition_datalist,
+    stratified_kfold,
+)
+from . import transforms

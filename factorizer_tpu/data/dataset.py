@@ -1,0 +1,247 @@
+"""Datasets, datalists and the prefetching loader.
+
+The workflow layer's replacement for MONAI ``Dataset``/``CacheDataset``/
+torch ``DataLoader`` + ``DistributedSampler`` (reference:
+model_zoo/factorizer_brats23/configs/train.yaml:173-200,
+train_multigpu.yaml:8-13).  Loading/augmentation runs in a host thread pool
+feeding a prefetch queue; per-process sharding replaces DistributedSampler
+for multi-host TPU training.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from pathlib import Path
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "Dataset",
+    "CacheDataset",
+    "DataLoader",
+    "load_decathlon_datalist",
+    "partition_datalist",
+    "stratified_kfold",
+]
+
+
+def load_decathlon_datalist(
+    path: str | Path,
+    section: str = "training",
+    fold: Optional[int] = None,
+    base_dir: Optional[str | Path] = None,
+) -> list[dict]:
+    """Load a Decathlon-style datalist JSON and select a section / CV fold.
+
+    With ``fold`` given: ``section='training'`` keeps items whose ``fold`` !=
+    fold; ``'validation'`` keeps items whose ``fold`` == fold (reference:
+    scripts/data.py:10-25).
+    """
+    with open(path) as f:
+        data = json.load(f)
+    items = data[section if section in data else "training"]
+
+    if base_dir is not None:
+        base = Path(base_dir)
+
+        def fix(v):
+            if isinstance(v, str) and (v.endswith(".nii") or v.endswith(".nii.gz")):
+                return str(base / v)
+            if isinstance(v, list):
+                return [fix(x) for x in v]
+            return v
+
+        items = [{k: fix(v) for k, v in it.items()} for it in items]
+
+    if fold is not None:
+        if section in ("training", "train"):
+            items = [x for x in items if x.get("fold") != fold]
+        elif section in ("validation", "val"):
+            items = [x for x in items if x.get("fold") == fold]
+    return items
+
+
+def stratified_kfold(
+    values: Sequence[float], num_folds: int = 5, num_bins: int = 5, seed: int = 42
+) -> list[int]:
+    """Fold assignment stratified by quantized ``values`` (lesion volumes).
+
+    Reimplements the reference's StratifiedKFold-over-histogram-bins scheme
+    (reference: scripts/make_datalist.py:87-108) without sklearn: bin the
+    values, then deal each bin's shuffled members round-robin into folds.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    edges = np.histogram_bin_edges(values, bins=num_bins)
+    bins = np.digitize(values, edges[:-1])
+    rng = np.random.default_rng(seed)
+
+    folds = np.zeros(len(values), dtype=np.int64)
+    for b in np.unique(bins):
+        idx = np.nonzero(bins == b)[0]
+        rng.shuffle(idx)
+        for j, i in enumerate(idx):
+            folds[i] = j % num_folds
+    return folds.tolist()
+
+
+def partition_datalist(items: Sequence[Any], num_partitions: int, index: int) -> list[Any]:
+    """Contiguous-stride shard of a datalist (DistributedSampler analogue)."""
+    return [x for j, x in enumerate(items) if j % num_partitions == index]
+
+
+class Dataset:
+    """Applies a transform lazily per item."""
+
+    def __init__(self, data: Sequence[dict], transform: Optional[Callable] = None) -> None:
+        self.data = list(data)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> dict:
+        item = dict(self.data[idx])
+        if self.transform is not None:
+            item = self.transform(item)
+        return item
+
+
+class CacheDataset(Dataset):
+    """Caches the deterministic transform output; applies the random tail lazily.
+
+    The MONAI CacheDataset analogue: pass the deterministic pipeline as
+    ``transform`` and the augmentation pipeline as ``random_transform``.
+    """
+
+    def __init__(
+        self,
+        data: Sequence[dict],
+        transform: Optional[Callable] = None,
+        random_transform: Optional[Callable] = None,
+        num_workers: int = 4,
+        progress: bool = False,
+    ) -> None:
+        super().__init__(data, transform)
+        self.random_transform = random_transform
+        self._cache: list[Optional[dict]] = [None] * len(self.data)
+        self._lock = threading.Lock()
+        if num_workers > 0 and transform is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_workers) as pool:
+                for i, item in enumerate(pool.map(self._load, range(len(self.data)))):
+                    self._cache[i] = item
+
+    def _load(self, idx: int) -> dict:
+        item = dict(self.data[idx])
+        if self.transform is not None:
+            item = self.transform(item)
+        return item
+
+    def __getitem__(self, idx: int) -> dict:
+        item = self._cache[idx]
+        if item is None:
+            item = self._load(idx)
+            with self._lock:
+                self._cache[idx] = item
+        if self.random_transform is not None:
+            item = self.random_transform(dict(item))
+        return item
+
+
+def _default_collate(items: list[dict]) -> dict:
+    """Stack array-valued keys into batches; pass lists through otherwise."""
+    out: dict = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals, axis=0)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Thread-pool loader with background prefetch.
+
+    Orders of magnitude simpler than torch's process-based loader but serves
+    the same role: overlap host-side IO/augmentation with device compute.
+    Each epoch reshuffles with a per-epoch seed for reproducibility.
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        collate_fn: Callable = _default_collate,
+        seed: int = 0,
+        prefetch: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 0)
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _batches(self) -> list[list[int]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size].tolist()
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batches()
+        if self.num_workers == 0:
+            for b in batches:
+                yield self.collate_fn([self.dataset[i] for i in b])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self.dataset.__getitem__, b))
+                    q.put(self.collate_fn(items))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

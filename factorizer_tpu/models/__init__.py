@@ -1,0 +1,3 @@
+from .unet import UNet, Same
+from .factorizer import FactMixer, FactorizerBlock, FactorizerStage, Factorizer
+from .deconver import DeconvMixer, DeconverBlock, DeconverStage, Stem, Deconver

@@ -1,0 +1,314 @@
+"""Factorizer models: NMF-mixing transformer-style blocks in a U-Net.
+
+TPU-native counterpart of the reference model family
+(reference: factorizer/factorizer.py).  Blocks are channels-last; the
+matricize reshape is built with ``data_format='channels_last'`` so the
+fold/unfold compiles to pure transpose/reshape around the factorization.
+
+The reference's open-ended ``**kwargs`` plumbing becomes explicit fields:
+factorization options (``rank``, ``num_iters``, ``init_method``, ``solver``,
+...) are first-class attributes threaded down to the ``factorize`` module,
+plus a ``factorize_options`` dict for anything exotic.  Note ``init_method``
+replaces the reference's ``init=`` kwarg (Flax reserves ``Module.init``); the
+``"init"`` key is still accepted inside ``factorize_options``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+from jax import Array
+
+from ..factorization.nmf import NMF, translate_mf_kwargs
+from ..layers.basic import LayerNorm, Linear, MLP, resolve_activation
+from ..layers.pos_embed import PositionalEmbedding
+from ..ops.reshape import Matricize
+from ..utils.helpers import has_args, partialize
+from .unet import UNet, spec_accepts
+
+__all__ = ["FactMixer", "FactorizerBlock", "FactorizerStage", "Factorizer"]
+
+# Factorization-option fields shared by FactMixer and its parents.
+_FACT_FIELDS = (
+    "rank",
+    "compression",
+    "num_iters",
+    "num_grad_steps",
+    "init_method",
+    "solver",
+)
+
+
+class FactMixer(nn.Module):
+    """Token-mixing module: project -> fold -> factorize -> unfold -> project.
+
+    (reference: factorizer.py:9-57)
+    """
+
+    in_channels: int
+    out_channels: int
+    spatial_size: Sequence[int]
+    reshape: Any = (Matricize, {"num_heads": 1, "grid_size": 1})
+    act: Any = "relu"
+    factorize: Any = NMF
+    dropout: float = 0.0
+    rank: Optional[int] = None
+    compression: Optional[float] = None
+    num_iters: Optional[int] = None
+    num_grad_steps: Optional[int] = None
+    init_method: Any = None
+    solver: Any = None
+    factorize_options: Any = None
+
+    def setup(self) -> None:
+        self.in_proj = Linear(self.in_channels, self.out_channels, bias=False)
+
+        # Fold/unfold operator over the channels-last volume.
+        reshape_fn = partialize(self.reshape)
+        reshape_kwargs = {}
+        if spec_accepts(self.reshape, "data_format") or has_args(reshape_fn, "data_format"):
+            reshape_kwargs["data_format"] = "channels_last"
+        self.reshape_op = reshape_fn(
+            (None, *self.spatial_size, self.out_channels), **reshape_kwargs
+        )
+        self.act_fn = resolve_activation(self.act)
+
+        # Factorized matrix size = trailing two axes of the folded tensor.
+        self.reshaped_size = tuple(self.reshape_op.output_size[2:])
+        fact_fn = partialize(self.factorize)
+        options = dict(self.factorize_options or {})
+        for f in _FACT_FIELDS:
+            v = getattr(self, f)
+            if v is not None:
+                options.setdefault(f, v)
+        options = translate_mf_kwargs(options)
+        options = {k: v for k, v in options.items() if spec_accepts(fact_fn, k) or has_args(fact_fn, k)}
+        self.factorize_op = fact_fn(self.reshaped_size, **options)
+
+        # Reference quirk: out_proj is Linear(in, out, out) — the third
+        # positional arg lands in `bias` (truthy), i.e. bias=True
+        # (factorizer.py:31).  We use out_channels as the input width, which
+        # is what the data actually has.
+        self.out_proj = Linear(self.out_channels, self.out_channels, bias=True)
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        # x: (B, *S, C)
+        out = self.in_proj(x)
+        out = self.reshape_op.forward(out)
+        out = self.act_fn(out)
+        out = self.factorize_op(out)
+        out = self.reshape_op.inverse_forward(out)
+        out = self.out_proj(out)
+        out = self.drop(out, deterministic=deterministic)
+        return out
+
+
+class FactorizerBlock(nn.Module):
+    """Pre-norm residual block: ``x + fact(norm(x))``; ``x + mlp(norm(x))``.
+
+    (reference: factorizer.py:60-77)
+    """
+
+    channels: int
+    spatial_size: Sequence[int]
+    norm: Any = LayerNorm
+    dropout: float = 0.0
+    mlp_ratio: float = 2
+    reshape: Any = (Matricize, {"num_heads": 1, "grid_size": 1})
+    act: Any = "relu"
+    factorize: Any = NMF
+    rank: Optional[int] = None
+    compression: Optional[float] = None
+    num_iters: Optional[int] = None
+    num_grad_steps: Optional[int] = None
+    init_method: Any = None
+    solver: Any = None
+    factorize_options: Any = None
+
+    def setup(self) -> None:
+        norm = partialize(self.norm)
+        self.norm1 = norm(self.channels)
+        self.fact = FactMixer(
+            self.channels,
+            self.channels,
+            self.spatial_size,
+            reshape=self.reshape,
+            act=self.act,
+            factorize=self.factorize,
+            dropout=self.dropout,
+            rank=self.rank,
+            compression=self.compression,
+            num_iters=self.num_iters,
+            num_grad_steps=self.num_grad_steps,
+            init_method=self.init_method,
+            solver=self.solver,
+            factorize_options=self.factorize_options,
+        )
+        self.norm2 = norm(self.channels)
+        self.mlp = MLP(self.channels, ratio=self.mlp_ratio, dropout=self.dropout)
+
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = x + self.fact(self.norm1(x), deterministic=deterministic)
+        x = x + self.mlp(self.norm2(x), deterministic=deterministic)
+        return x
+
+
+class FactorizerStage(nn.Module):
+    """One resolution stage: channel adapter + optional pos-embed + depth blocks.
+
+    (reference: factorizer.py:80-122)
+    """
+
+    in_channels: int
+    out_channels: int
+    spatial_size: Sequence[int]
+    depth: int = 1
+    adapter: Any = (Linear, {"bias": False})
+    pos_embed: Any = None
+    dropout: float = 0.0
+    norm: Any = LayerNorm
+    mlp_ratio: float = 2
+    reshape: Any = (Matricize, {"num_heads": 1, "grid_size": 1})
+    act: Any = "relu"
+    factorize: Any = NMF
+    rank: Optional[int] = None
+    compression: Optional[float] = None
+    num_iters: Optional[int] = None
+    num_grad_steps: Optional[int] = None
+    init_method: Any = None
+    solver: Any = None
+    factorize_options: Any = None
+
+    def setup(self) -> None:
+        if self.in_channels != self.out_channels:
+            self.adapter_ = partialize(self.adapter)(self.in_channels, self.out_channels)
+        else:
+            self.adapter_ = None
+
+        if self.pos_embed is not None:
+            self.pos_embed_ = partialize(self.pos_embed)(self.out_channels, tuple(self.spatial_size))
+            self.pos_drop = nn.Dropout(rate=self.dropout)
+        else:
+            self.pos_embed_ = None
+
+        self.blocks = [
+            FactorizerBlock(
+                self.out_channels,
+                self.spatial_size,
+                norm=self.norm,
+                dropout=self.dropout,
+                mlp_ratio=self.mlp_ratio,
+                reshape=self.reshape,
+                act=self.act,
+                factorize=self.factorize,
+                rank=self.rank,
+                compression=self.compression,
+                num_iters=self.num_iters,
+                num_grad_steps=self.num_grad_steps,
+                init_method=self.init_method,
+                solver=self.solver,
+                factorize_options=self.factorize_options,
+                name=f"block{i}",
+            )
+            for i in range(self.depth)
+        ]
+
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        out = self.adapter_(x) if self.adapter_ is not None else x
+        if self.pos_embed_ is not None:
+            out = self.pos_embed_(out)
+            out = self.pos_drop(out, deterministic=deterministic)
+        for blk in self.blocks:
+            out = blk(out, deterministic=deterministic)
+        return out
+
+
+class Factorizer(nn.Module):
+    """Swin-Factorizer segmentation U-Net (reference: factorizer.py:125-171).
+
+    A generic :class:`UNet` whose stage blocks are :class:`FactorizerStage`;
+    only the bottleneck stage carries a positional embedding.
+    """
+
+    in_channels: int
+    out_channels: int
+    spatial_size: Sequence[int]
+    encoder_depth: Sequence[int] = (1, 1, 1, 1, 1)
+    encoder_width: Sequence[int] = (32, 64, 128, 256, 512)
+    strides: Sequence[int] = (1, 2, 2, 2, 2)
+    decoder_depth: Sequence[int] = (1, 1, 1, 1)
+    stem: Any = None
+    downsample: Any = None
+    upsample: Any = None
+    head: Any = None
+    pos_embed: Any = PositionalEmbedding
+    num_deep_supr: Any = False
+    data_format: str = "channels_first"
+    # block-level options
+    norm: Any = LayerNorm
+    dropout: float = 0.0
+    mlp_ratio: float = 2
+    reshape: Any = (Matricize, {"num_heads": 1, "grid_size": 1})
+    act: Any = "relu"
+    factorize: Any = NMF
+    rank: Optional[int] = None
+    compression: Optional[float] = None
+    num_iters: Optional[int] = None
+    num_grad_steps: Optional[int] = None
+    init_method: Any = None
+    solver: Any = None
+    factorize_options: Any = None
+
+    def setup(self) -> None:
+        stem = self.stem
+        if stem is None:
+            from ..layers.basic import Conv
+
+            stem = (Conv, {"kernel_size": 3, "padding": 1, "bias": False})
+
+        block_kwargs = dict(
+            norm=self.norm,
+            dropout=self.dropout,
+            mlp_ratio=self.mlp_ratio,
+            reshape=self.reshape,
+            act=self.act,
+            factorize=self.factorize,
+            rank=self.rank,
+            compression=self.compression,
+            num_iters=self.num_iters,
+            num_grad_steps=self.num_grad_steps,
+            init_method=self.init_method,
+            solver=self.solver,
+            factorize_options=self.factorize_options,
+        )
+        n_enc = len(self.encoder_depth)
+        n_dec = len(self.decoder_depth)
+        encoder_block = (n_enc - 1) * [(FactorizerStage, block_kwargs)]
+        bottleneck_block = [(FactorizerStage, {"pos_embed": self.pos_embed, **block_kwargs})]
+        decoder_block = n_dec * [(FactorizerStage, block_kwargs)]
+
+        self.unet = UNet(
+            self.in_channels,
+            self.out_channels,
+            spatial_dims=len(self.spatial_size),
+            spatial_size=self.spatial_size,
+            encoder_depth=self.encoder_depth,
+            encoder_width=self.encoder_width,
+            strides=self.strides,
+            decoder_depth=self.decoder_depth,
+            stem=stem,
+            downsample=self.downsample,
+            block=encoder_block + bottleneck_block + decoder_block,
+            upsample=self.upsample,
+            head=self.head,
+            num_deep_supr=self.num_deep_supr,
+            data_format=self.data_format,
+        )
+
+    def forward_features(self, x: Array, deterministic: bool = True) -> list[Array]:
+        return self.unet.forward_features(x, deterministic=deterministic)
+
+    def __call__(self, x: Array, train: bool = False):
+        return self.unet(x, train=train)

@@ -1,0 +1,87 @@
+"""Device-mesh construction and sharding helpers.
+
+The TPU-native replacement for the reference's DDP/NCCL layer
+(reference: model_zoo/*/configs/train_multigpu.yaml:1-39): a
+``jax.sharding.Mesh`` over the chips with named axes, ``NamedSharding``
+annotations, and XLA-inserted collectives riding ICI.  Multi-host init goes
+through ``jax.distributed.initialize`` (single-controller JAX).
+
+Mesh axes used by this framework:
+    ``data``   — batch (data parallel; gradient psum over ICI)
+    ``model``  — tensor/sequence parallel: wide Dense kernels and/or one
+                 spatial axis of the volume (halo exchange handled by GSPMD)
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_parallel_mesh",
+    "batch_sharding",
+    "replicated",
+    "local_device_count",
+    "initialize_distributed",
+    "process_is_primary",
+]
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def make_mesh(
+    axes: Mapping[str, int],
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh with named axes from (a prefix of) the available devices.
+
+    Args:
+        axes: ordered mapping axis-name -> size; an axis size of -1 absorbs
+            the remaining devices.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    names = list(axes.keys())
+    sizes = list(axes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = len(devices) // known
+    total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(f"Mesh needs {total} devices, only {len(devices)} available.")
+    grid = np.array(devices[:total]).reshape(sizes)
+    return Mesh(grid, names)
+
+
+def data_parallel_mesh(n: Optional[int] = None) -> Mesh:
+    """A 1-D ``data`` mesh over n (default: all) local devices."""
+    devices = jax.devices()
+    n = len(devices) if n is None else n
+    return make_mesh({"data": n}, devices)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data", ndim: int = 5) -> NamedSharding:
+    """Shard the leading (batch) axis over ``axis``; replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (no-op on a single process)."""
+    if jax.process_count() > 1 or kwargs:
+        with contextlib.suppress(RuntimeError):
+            jax.distributed.initialize(**kwargs)
+
+
+def process_is_primary() -> bool:
+    """True on the host that should log/checkpoint (rank-0 analogue)."""
+    return jax.process_index() == 0

@@ -1,0 +1,88 @@
+"""Checkpoint save/restore built on Orbax.
+
+The TPU-native replacement for the bundles' ignite Checkpoint handlers
+(reference: model_zoo/factorizer_brats23/configs/train.yaml:354-374;
+scripts/utils.py:10-31): saves ``{params, buffers, opt_state, step}`` with
+retention, restores the latest for resume, and loads several fold
+checkpoints for ensembling (inference.yaml:13,141-152).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+except ImportError:  # pragma: no cover
+    ocp = None
+
+__all__ = ["CheckpointManager", "save_checkpoint", "restore_checkpoint", "load_checkpoints"]
+
+
+class CheckpointManager:
+    """Thin orbax CheckpointManager wrapper with n-best retention."""
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 1) -> None:
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+        tree = _to_savable(state)
+        self._mgr.save(step, args=ocp.args.StandardSave(tree), metrics=metrics)
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        if template is not None:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(_to_savable(template))
+            )
+        return self._mgr.restore(step)
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def _to_savable(state: Any) -> dict:
+    """TrainState -> plain dict (tx is static and excluded)."""
+    if hasattr(state, "params"):
+        return {
+            "step": state.step,
+            "params": state.params,
+            "buffers": state.buffers,
+            "opt_state": state.opt_state,
+        }
+    return state
+
+
+def save_checkpoint(path: str | Path, state: Any) -> None:
+    """One-shot save of a state/variables pytree."""
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(path), _to_savable(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str | Path, template: Any = None) -> Any:
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(str(path), target=_to_savable(template))
+    return ckptr.restore(str(path))
+
+
+def load_checkpoints(paths: list[str | Path], template: Any = None) -> list[Any]:
+    """Load several (k-fold) checkpoints for ensembled inference."""
+    return [restore_checkpoint(p, template) for p in paths]

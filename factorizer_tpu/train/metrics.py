@@ -1,0 +1,142 @@
+"""Segmentation metrics: Dice and 95th-percentile Hausdorff distance.
+
+TPU-native equivalents of the bundle metric handlers (reference:
+model_zoo/factorizer_brats23/scripts/metrics.py:7-45 wrapping
+monai.metrics.{DiceMetric,HausdorffDistanceMetric}).  Dice is pure jnp
+(device-side); HD95 runs on host via scipy distance transforms, as surface
+distances are inherently data-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+try:
+    from scipy import ndimage as _ndi
+except ImportError:  # pragma: no cover
+    _ndi = None
+
+__all__ = ["dice_metric", "MeanDice", "hausdorff_distance_95", "MeanHausdorffDistance"]
+
+
+def dice_metric(
+    pred: Array,
+    target: Array,
+    include_background: bool = True,
+    nan_for_empty: bool = True,
+    channel_axis: int = 1,
+) -> Array:
+    """Per-sample, per-channel hard Dice on binarized masks.
+
+    Args:
+        pred/target: ``(B, C, *S)`` binary masks.
+
+    Returns:
+        ``(B, C)`` Dice scores; NaN where both masks are empty (MONAI
+        convention with ``get_not_nans``-style filtering downstream).
+    """
+    if not include_background:
+        pred = jnp.take(pred, jnp.arange(1, pred.shape[channel_axis]), axis=channel_axis)
+        target = jnp.take(target, jnp.arange(1, target.shape[channel_axis]), axis=channel_axis)
+
+    axes = tuple(range(2, pred.ndim))
+    intersection = jnp.sum(pred * target, axis=axes)
+    denom = jnp.sum(pred, axis=axes) + jnp.sum(target, axis=axes)
+    dice = (2.0 * intersection) / jnp.maximum(denom, 1e-12)
+    if nan_for_empty:
+        dice = jnp.where(denom > 0, dice, jnp.nan)
+    return dice
+
+
+class MeanDice:
+    """Accumulating mean-Dice (NaN-aware), ignite-handler analogue."""
+
+    def __init__(self, include_background: bool = True) -> None:
+        self.include_background = include_background
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: list[np.ndarray] = []
+
+    def update(self, pred: Array, target: Array) -> None:
+        d = dice_metric(pred, target, include_background=self.include_background)
+        self._scores.append(np.asarray(d))
+
+    def compute(self) -> float:
+        if not self._scores:
+            return float("nan")
+        allv = np.concatenate(self._scores, axis=0)
+        return float(np.nanmean(allv))
+
+    def compute_per_channel(self) -> np.ndarray:
+        allv = np.concatenate(self._scores, axis=0)
+        return np.nanmean(allv, axis=0)
+
+
+def _surface_points(mask: np.ndarray) -> np.ndarray:
+    """Boolean surface (border) voxels of a binary mask."""
+    eroded = _ndi.binary_erosion(mask, iterations=1, border_value=0)
+    return mask & ~eroded
+
+
+def hausdorff_distance_95(
+    pred: np.ndarray,
+    target: np.ndarray,
+    percentile: float = 95.0,
+    spacing: Optional[tuple] = None,
+) -> float:
+    """Symmetric percentile Hausdorff distance between two binary masks.
+
+    Host-side (numpy/scipy).  Returns NaN if either mask is empty, matching
+    MONAI's behavior.
+    """
+    if _ndi is None:
+        raise ImportError("scipy is required for Hausdorff distance")
+    pred = np.asarray(pred).astype(bool)
+    target = np.asarray(target).astype(bool)
+    if not pred.any() or not target.any():
+        return float("nan")
+
+    sp = _surface_points(pred)
+    st = _surface_points(target)
+    sampling = spacing if spacing is not None else (1.0,) * pred.ndim
+
+    # Distance from each surface to the other mask's surface.
+    dt_t = _ndi.distance_transform_edt(~st, sampling=sampling)
+    dt_p = _ndi.distance_transform_edt(~sp, sampling=sampling)
+    d_pt = dt_t[sp]
+    d_tp = dt_p[st]
+    return float(
+        max(np.percentile(d_pt, percentile), np.percentile(d_tp, percentile))
+    )
+
+
+class MeanHausdorffDistance:
+    """Accumulating mean HD95 over samples and channels (NaN-aware)."""
+
+    def __init__(self, percentile: float = 95.0, include_background: bool = True) -> None:
+        self.percentile = percentile
+        self.include_background = include_background
+        self.reset()
+
+    def reset(self) -> None:
+        self._scores: list[float] = []
+
+    def update(self, pred, target) -> None:
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        c0 = 0 if self.include_background else 1
+        for b in range(pred.shape[0]):
+            for c in range(c0, pred.shape[1]):
+                self._scores.append(
+                    hausdorff_distance_95(pred[b, c], target[b, c], self.percentile)
+                )
+
+    def compute(self) -> float:
+        if not self._scores:
+            return float("nan")
+        return float(np.nanmean(self._scores))

@@ -1,0 +1,124 @@
+"""Training loop core: TrainState + jit/pjit-compiled step functions.
+
+The TPU-native replacement for the bundles' ignite ``SupervisedTrainer``
+(reference: model_zoo/factorizer_brats23/configs/train.yaml:340-352): a pure
+functional train step (forward, loss, grad, AdamW update) compiled once over
+a device mesh; batch sharded over the ``data`` axis; gradients all-reduced by
+XLA over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.sharding import param_sharding_rules
+from .losses import deep_supervision_loss, dice_ce_loss
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    """Functional train state: params + non-trainable buffers + optimizer."""
+
+    step: jnp.ndarray
+    params: Any
+    buffers: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.buffers:
+            v["buffers"] = self.buffers
+        return v
+
+    def apply_gradients(self, grads: Any) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    sample_input: jnp.ndarray,
+    rng: jax.Array,
+    train_kwargs: Optional[dict] = None,
+) -> TrainState:
+    variables = jax.jit(model.init)(rng, sample_input, **(train_kwargs or {}))
+    params = variables["params"]
+    buffers = variables.get("buffers", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        buffers=buffers,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model,
+    loss_fn: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    donate: bool = True,
+):
+    """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step.
+
+    With a mesh, inputs are constrained batch-sharded over ``data_axis`` and
+    params follow :func:`param_sharding_rules`; without one, plain jit.
+    """
+    if loss_fn is None:
+
+        def loss_fn(logits, labels):
+            if isinstance(logits, (list, tuple)):
+                return deep_supervision_loss(logits, labels)
+            return dice_ce_loss(logits, labels)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        images, labels = batch["image"], batch["label"]
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if state.buffers:
+                variables["buffers"] = state.buffers
+            logits = model.apply(variables, images, train=True, rngs={"dropout": rng})
+            return loss_fn(logits, labels)
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is not None:
+        batch_sh = NamedSharding(mesh, P(data_axis))
+
+        def sharded_step(state, batch, rng):
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+                ),
+                batch,
+            )
+            return step(state, batch, rng)
+
+        return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None, data_axis: str = "data"):
+    """Jitted forward (inference mode) returning logits."""
+
+    def step(variables, images):
+        return model.apply(variables, images)
+
+    return jax.jit(step)
