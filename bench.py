@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: the axon TPU tunnel defers/elides execution until a host fetch,
+so we chain K forwards with a data dependency (each iteration's input is
+perturbed by the previous output's mean), force execution with a scalar
+fetch, and take the slope between two K values to cancel the fixed
+tunnel/dispatch overhead.
+
 Baseline context (BASELINE.md): the reference repo ships only a CPU latency
 for this exact model/config — 16.19 s/volume (tests/profiler.json, torch CPU,
 mean of 5 no-grad forwards).  ``vs_baseline`` is measured throughput divided
-by that reference throughput (0.0618 vol/s).  The north-star target
-(>=4x A100 throughput) has no in-repo A100 number to compare against.
+by that reference throughput.  The north-star (>=4x A100 throughput) has no
+in-repo A100 number to compare against.
 """
 
 from __future__ import annotations
@@ -20,27 +26,48 @@ import jax.numpy as jnp
 REFERENCE_CPU_LATENCY_S = 16.19  # tests/profiler.json, Factorizer @ (1,2,128^3)
 
 
+def _chained_forward(model, variables, x, k: int):
+    """jit-compiled chain of k forwards with a data dependency between them."""
+
+    def body(carry, _):
+        y = model.apply(variables, carry)
+        carry = carry + 1e-12 * jnp.mean(y)
+        return carry, ()
+
+    def run(x):
+        out, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(out)
+
+    return jax.jit(run)
+
+
+def _time(fn, x, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(x))  # host fetch forces execution
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     from __graft_entry__ import _flagship
 
     model = _flagship()
-    x = jnp.zeros((1, 2, 128, 128, 128), jnp.float32)
+    x = jax.random.uniform(jax.random.key(1), (1, 2, 128, 128, 128), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x)
 
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    k_lo, k_hi = 2, 10
+    f_lo = _chained_forward(model, variables, x, k_lo)
+    f_hi = _chained_forward(model, variables, x, k_hi)
+    float(f_lo(x))  # compile
+    float(f_hi(x))
 
-    # Warmup / compile.
-    y = fwd(variables, x)
-    jax.block_until_ready(y)
+    t_lo = _time(f_lo, x)
+    t_hi = _time(f_hi, x)
+    per_iter = (t_hi - t_lo) / (k_hi - k_lo)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fwd(variables, x)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / iters
-
-    vol_per_s = 1.0 / dt
+    vol_per_s = 1.0 / per_iter
     baseline_vol_per_s = 1.0 / REFERENCE_CPU_LATENCY_S
     print(
         json.dumps(

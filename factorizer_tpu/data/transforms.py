@@ -774,12 +774,19 @@ class Invertd(MapTransform):
             out[tuple(slices)] = arr
             return out
         if op == "spacing":
-            zoom = [o / c for o, c in zip(record["orig_shape"], arr.shape[1:])]
+            orig = record["orig_shape"]
+            zoom = [o / c for o, c in zip(orig, arr.shape[1:])]
             order = 0 if self.nearest else 1
-            return np.stack(
-                [ndi.zoom(c, zoom, order=order, mode="nearest", prefilter=False, output_shape=None) for c in arr],
+            out = np.stack(
+                [ndi.zoom(c, zoom, order=order, mode="nearest", prefilter=False) for c in arr],
                 axis=0,
-            )[:, : record["orig_shape"][0], : record["orig_shape"][1], : record["orig_shape"][2]]
+            )
+            # zoom rounding can be off by one voxel: crop/pad to the exact shape
+            out = out[(slice(None), *[slice(0, o) for o in orig])]
+            pads = [(0, 0)] + [(0, max(o - s, 0)) for o, s in zip(orig, out.shape[1:])]
+            if any(hi for _, hi in pads):
+                out = np.pad(out, pads)
+            return out
         if op == "orientation":
             out = arr
             for ax, f in reversed(list(enumerate(record["flips"]))):

@@ -45,8 +45,7 @@ class RandomInit(nn.Module):
     size: Sequence[int]
     method: Any = "uniform"
 
-    @nn.compact
-    def __call__(self, x: Array) -> tuple[Array, Array]:
+    def setup(self) -> None:
         methods = as_tuple(self.method)
         if len(methods) == 1:
             mu = mv = methods[0]
@@ -62,9 +61,15 @@ class RandomInit(nn.Module):
 
             return init_fn
 
-        u0 = self.variable("buffers", "u0", make(mu, self.size[0], "u0")).value
-        v0 = self.variable("buffers", "v0", make(mv, self.size[1], "v0")).value
+        self._u0 = self.variable("buffers", "u0", make(mu, self.size[0], "u0"))
+        self._v0 = self.variable("buffers", "v0", make(mv, self.size[1], "v0"))
 
+    def tables(self) -> tuple[Array, Array]:
+        """The raw shared ``(M, R)`` / ``(N, R)`` buffers (for fused kernels)."""
+        return self._u0.value, self._v0.value
+
+    def __call__(self, x: Array) -> tuple[Array, Array]:
+        u0, v0 = self.tables()
         batch = x.shape[:-2]
         u = jnp.broadcast_to(u0, (*batch, *u0.shape)).astype(x.dtype)
         v = jnp.broadcast_to(v0, (*batch, *v0.shape)).astype(x.dtype)

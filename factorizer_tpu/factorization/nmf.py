@@ -71,6 +71,7 @@ class MatrixFactorization(nn.Module):
     eps: Optional[float] = None
     project: Any = None
     verbose: bool = False
+    use_pallas: Optional[bool] = None  # None = auto (TPU, single device, hals/mu)
 
     def setup(self) -> None:
         rank, compression = infer_rank(tuple(self.size), self.rank, self.compression)
@@ -108,7 +109,41 @@ class MatrixFactorization(nn.Module):
     def loss(self, x: Array, u: Array, v: Array, w: Optional[Array] = None) -> Array:
         return relative_error(x, self.reconstruct(u, v), w)
 
+    def _fused_eligible(self) -> bool:
+        """Whether the fused Pallas kernel covers this exact configuration."""
+        from ..ops.pallas import nmf_kernel as _pk
+        from .inits import RandomInit
+
+        if not (
+            isinstance(self.solver, str)
+            and self.solver in ("hals", "mu")
+            and self.project is None
+            and isinstance(self.initializer, RandomInit)
+            and _pk.supports(self.solver, self.rank_, tuple(self.size))
+        ):
+            return False
+        if self.use_pallas is not None:
+            return bool(self.use_pallas)
+        # Auto mode: fused kernel on a single TPU chip.  (Multi-chip GSPMD
+        # can't partition a custom call automatically — the XLA path shards
+        # fine, so prefer it there.)
+        devices = jax.devices()
+        return len(devices) == 1 and devices[0].platform == "tpu"
+
     def __call__(self, x: Array) -> Array:
+        if x.ndim >= 3 and self._fused_eligible():
+            from ..ops.pallas.nmf_kernel import nmf_reconstruct
+
+            u0, v0 = self.initializer.tables()
+            return nmf_reconstruct(
+                x,
+                u0,
+                v0,
+                self.solver,
+                self.num_iters,
+                self.eps if self.eps is not None else 1e-16,
+                self.num_grad_steps,
+            )
         u, v = self.decompose(x)
         return self.reconstruct(u, v)
 

@@ -7,6 +7,7 @@ from .basic import (
     ConvTranspose,
     Dropout,
     GroupNorm,
+    InstanceNorm,
     resolve_activation,
     ACTIVATIONS,
 )

@@ -248,3 +248,25 @@ class GroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps, name="norm")(x)
+
+
+class InstanceNorm(nn.Module):
+    """Instance normalization (per-channel spatial norm), torch defaults.
+
+    torch ``InstanceNormNd`` defaults to ``affine=False``; equivalent to
+    GroupNorm with one channel per group and no learned scale/bias.
+    """
+
+    dim: int
+    eps: float = 1e-5
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.GroupNorm(
+            num_groups=self.dim,
+            epsilon=self.eps,
+            use_scale=self.affine,
+            use_bias=self.affine,
+            name="norm",
+        )(x)

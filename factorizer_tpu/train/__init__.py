@@ -7,3 +7,5 @@ from .sliding_window import (
     sliding_window_positions,
     compute_importance_map,
 )
+from .loop import SegmentationTrainer, Evaluator, EnsembleEvaluator
+from .checkpoint import CheckpointManager, save_checkpoint, restore_checkpoint, load_checkpoints

@@ -1,0 +1,320 @@
+"""High-level training / evaluation drivers.
+
+The workflow layer's replacement for ignite ``SupervisedTrainer`` /
+``SupervisedEvaluator`` / ``EnsembleEvaluator`` + handler stack (reference:
+model_zoo/factorizer_brats23/configs/train.yaml:302-384,
+inference.yaml:107-161): epoch loop with compiled train step, periodic
+sliding-window validation with Dice/HD95, checkpoint save/resume, console +
+TensorBoard logging, and k-fold checkpoint ensembling at inference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import process_is_primary
+from .checkpoint import CheckpointManager
+from .metrics import MeanDice, MeanHausdorffDistance
+from .schedules import make_adamw
+from .sliding_window import sliding_window_inference
+from .trainer import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger("factorizer_tpu")
+
+__all__ = ["SegmentationTrainer", "Evaluator", "EnsembleEvaluator"]
+
+
+def _param_count(params: Any) -> int:
+    return sum(a.size for a in jax.tree.leaves(params))
+
+
+class SegmentationTrainer:
+    """Supervised segmentation training with periodic validation.
+
+    Args:
+        model: a flax module with ``__call__(x, train=...)``.
+        train_loader / val_loader: iterables of ``{"image", "label"}`` numpy
+            batches (channels-first).
+        max_epochs, val_interval: loop schedule (reference defaults: 300 / 20).
+        lr, weight_decay, warmup_epochs: AdamW + warmup-cosine hyperparams.
+        roi_size: sliding-window size for validation.
+        ckpt_dir: checkpoint directory (resumes from latest if present).
+        loss_fn: optional override of the DiceCE default.
+        mesh: optional device mesh for data-parallel training.
+    """
+
+    def __init__(
+        self,
+        model,
+        train_loader,
+        val_loader=None,
+        max_epochs: int = 300,
+        val_interval: int = 20,
+        lr: float = 1e-3,
+        weight_decay: float = 1e-2,
+        warmup_epochs: int = 5,
+        roi_size: Sequence[int] = (128, 128, 128),
+        sw_batch_size: int = 2,
+        overlap: float = 0.5,
+        ckpt_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+        loss_fn: Optional[Callable] = None,
+        mesh=None,
+        seed: int = 123,
+        compute_hd95: bool = False,
+        max_to_keep: int = 1,
+    ) -> None:
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.max_epochs = max_epochs
+        self.val_interval = val_interval
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.seed = seed
+        self.compute_hd95 = compute_hd95
+        self.mesh = mesh
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.tx = make_adamw(
+            lr=lr,
+            weight_decay=weight_decay,
+            warmup_steps=warmup_epochs * steps_per_epoch,
+            total_steps=max_epochs * steps_per_epoch,
+        )
+        self.train_step = make_train_step(model, loss_fn=loss_fn, mesh=mesh)
+        self._eval_fwd = None
+
+        self.ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep) if ckpt_dir else None
+        self.log_dir = Path(log_dir) if log_dir else None
+        self._tb = None
+        if self.log_dir and process_is_primary():
+            self.log_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.log_dir))
+            except ImportError:
+                pass
+
+        self.state: Optional[TrainState] = None
+        self.history: list[dict] = []
+        self.best_metric = -float("inf")
+
+    # -- lifecycle
+
+    def initialize(self, sample_batch: Optional[dict] = None) -> TrainState:
+        if sample_batch is None:
+            sample_batch = next(iter(self.train_loader))
+        x = jnp.asarray(sample_batch["image"])
+        self.state = create_train_state(
+            self.model, self.tx, x, jax.random.key(self.seed), train_kwargs={"train": False}
+        )
+        if process_is_primary():
+            logger.info("model parameters: %.2fM", _param_count(self.state.params) / 1e6)
+        # resume
+        if self.ckpt is not None and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(template=self.state)
+            self.state = self.state.replace(
+                step=jnp.asarray(restored["step"]),
+                params=restored["params"],
+                buffers=restored["buffers"],
+                opt_state=restored["opt_state"],
+            )
+            logger.info("resumed from checkpoint step %s", int(self.state.step))
+        return self.state
+
+    def _log(self, tag: str, value: float, step: int) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    # -- validation
+
+    def validate(self) -> dict:
+        assert self.state is not None
+        variables = self.state.variables()
+        if self._eval_fwd is None:
+
+            def _fwd(windows):
+                out = self.model.apply(variables, windows)
+                return out[0] if isinstance(out, (list, tuple)) else out
+
+            self._eval_fwd = _fwd
+
+        dice = MeanDice()
+        hd = MeanHausdorffDistance() if self.compute_hd95 else None
+        for batch in self.val_loader:
+            images = jnp.asarray(batch["image"])
+            labels = np.asarray(batch["label"])
+            logits = sliding_window_inference(
+                images,
+                self.roi_size,
+                self._eval_fwd,
+                sw_batch_size=self.sw_batch_size,
+                overlap=self.overlap,
+            )
+            preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
+            dice.update(jnp.asarray(preds), jnp.asarray(labels))
+            if hd is not None:
+                hd.update(preds, labels)
+        out = {"mean_dice": dice.compute()}
+        per = dice.compute_per_channel()
+        for c, v in enumerate(per):
+            out[f"dice_ch{c}"] = float(v)
+        if hd is not None:
+            out["hd95"] = hd.compute()
+        return out
+
+    # -- main loop
+
+    def run(self) -> TrainState:
+        if self.state is None:
+            self.initialize()
+        state = self.state
+        rng = jax.random.key(self.seed + 1)
+
+        start_epoch = 0
+        for epoch in range(start_epoch, self.max_epochs):
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for batch in self.train_loader:
+                rng, step_rng = jax.random.split(rng)
+                jbatch = {
+                    "image": jnp.asarray(batch["image"]),
+                    "label": jnp.asarray(batch["label"], jnp.float32),
+                }
+                state, metrics = self.train_step(state, jbatch, step_rng)
+                losses.append(metrics["loss"])
+            self.state = state
+            epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+            dt = time.time() - t0
+            if process_is_primary():
+                logger.info(
+                    "epoch %d/%d loss=%.4f (%.1fs)", epoch + 1, self.max_epochs, epoch_loss, dt
+                )
+                self._log("train/loss", epoch_loss, epoch)
+
+            record = {"epoch": epoch, "loss": epoch_loss, "time_s": dt}
+
+            if (
+                self.val_loader is not None
+                and self.val_interval
+                and (epoch + 1) % self.val_interval == 0
+            ):
+                self._eval_fwd = None  # rebind to fresh params
+                val_metrics = self.validate()
+                record.update(val_metrics)
+                if process_is_primary():
+                    logger.info("validation @ epoch %d: %s", epoch + 1, val_metrics)
+                    for k, v in val_metrics.items():
+                        self._log(f"val/{k}", v, epoch)
+                if val_metrics["mean_dice"] > self.best_metric:
+                    self.best_metric = val_metrics["mean_dice"]
+
+            if self.ckpt is not None and process_is_primary():
+                self.ckpt.save(epoch + 1, state, metrics=None)
+
+            self.history.append(record)
+            if self.log_dir and process_is_primary():
+                (self.log_dir / "history.jsonl").open("a").write(json.dumps(record) + "\n")
+
+        return state
+
+
+class Evaluator:
+    """Sliding-window evaluation of one checkpointed model over a loader."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        roi_size: Sequence[int] = (128, 128, 128),
+        sw_batch_size: int = 2,
+        overlap: float = 0.5,
+        compute_hd95: bool = True,
+        postprocess: Optional[Callable] = None,
+    ) -> None:
+        self.model = model
+        self.variables = variables
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.compute_hd95 = compute_hd95
+        self.postprocess = postprocess
+
+    def predict(self, images) -> jnp.ndarray:
+        def fwd(windows):
+            out = self.model.apply(self.variables, windows)
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        return sliding_window_inference(
+            jnp.asarray(images),
+            self.roi_size,
+            fwd,
+            sw_batch_size=self.sw_batch_size,
+            overlap=self.overlap,
+        )
+
+    def run(self, loader, save_case_metrics: Optional[str] = None) -> dict:
+        dice = MeanDice()
+        hd = MeanHausdorffDistance() if self.compute_hd95 else None
+        cases = []
+        for batch in loader:
+            logits = self.predict(batch["image"])
+            preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
+            labels = np.asarray(batch["label"])
+            dice.update(jnp.asarray(preds), jnp.asarray(labels))
+            if hd is not None:
+                hd.update(preds, labels)
+            case_dice = np.nanmean(
+                np.asarray(
+                    __import__("factorizer_tpu.train.metrics", fromlist=["dice_metric"]).dice_metric(
+                        jnp.asarray(preds), jnp.asarray(labels)
+                    )
+                )
+            )
+            cases.append({"id": batch.get("id", [None])[0], "dice": float(case_dice)})
+        out = {"mean_dice": dice.compute()}
+        if hd is not None:
+            out["hd95"] = hd.compute()
+        if save_case_metrics:
+            Path(save_case_metrics).parent.mkdir(parents=True, exist_ok=True)
+            with open(save_case_metrics, "w") as f:
+                json.dump(cases, f, indent=2)
+        return out
+
+
+class EnsembleEvaluator:
+    """Mean-ensemble of k fold checkpoints (reference: inference.yaml:107-152)."""
+
+    def __init__(
+        self,
+        model,
+        variables_list: Sequence[Any],
+        roi_size: Sequence[int] = (128, 128, 128),
+        sw_batch_size: int = 2,
+        overlap: float = 0.5,
+    ) -> None:
+        self.evaluators = [
+            Evaluator(model, v, roi_size, sw_batch_size, overlap, compute_hd95=False)
+            for v in variables_list
+        ]
+
+    def predict(self, images) -> np.ndarray:
+        """Mean of per-model sigmoid probabilities."""
+        probs = None
+        for ev in self.evaluators:
+            p = jax.nn.sigmoid(ev.predict(images))
+            probs = p if probs is None else probs + p
+        return np.asarray(probs / len(self.evaluators))

@@ -52,7 +52,8 @@ def create_train_state(
     rng: jax.Array,
     train_kwargs: Optional[dict] = None,
 ) -> TrainState:
-    variables = jax.jit(model.init)(rng, sample_input, **(train_kwargs or {}))
+    kwargs = dict(train_kwargs or {})
+    variables = jax.jit(lambda rng, x: model.init(rng, x, **kwargs))(rng, sample_input)
     params = variables["params"]
     buffers = variables.get("buffers", {})
     return TrainState(

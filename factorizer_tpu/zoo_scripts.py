@@ -1,0 +1,192 @@
+"""Bundle program entry points: evaluation and ensemble inference.
+
+The L4 glue invoked by the zoo configs (the analogue of the reference's
+evaluate.yaml / inference.yaml programs: reference evaluate.yaml:11-54,
+inference.yaml:107-161): checkpoint restore, sliding-window prediction,
+invert-preprocessing round trip, NIfTI export, per-case metrics, and k-fold
+mean ensembling with BraTS label fusion.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import load_decathlon_datalist
+from .data import transforms as T
+from .train.checkpoint import restore_checkpoint
+from .train.loop import Evaluator
+from .train.metrics import dice_metric, hausdorff_distance_95
+from .train.sliding_window import sliding_window_inference
+
+logger = logging.getLogger("factorizer_tpu")
+
+__all__ = ["evaluate_bundle", "ensemble_inference", "fuse_brats_labels", "load_model_checkpoint"]
+
+
+def load_model_checkpoint(model, ckpt_path, roi_size: Sequence[int]):
+    """Restore a checkpoint into the model's variable structure."""
+    in_ch = getattr(model, "in_channels")
+    x = jnp.zeros((1, in_ch, *roi_size), jnp.float32)
+    template = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    restored = restore_checkpoint(ckpt_path, template={"params": template["params"], "buffers": template.get("buffers", {}), "step": jnp.zeros((), jnp.int32), "opt_state": None})
+    variables = {"params": restored["params"]}
+    if restored.get("buffers"):
+        variables["buffers"] = restored["buffers"]
+    return variables
+
+
+def fuse_brats_labels(pred: np.ndarray) -> np.ndarray:
+    """Nested-region channels (ET, TC, WT) -> BraTS label map.
+
+    WT -> 2 (edema), TC -> 1 (NCR/NET), ET -> 3; later writes overwrite
+    earlier ones on the nested masks (reference: inference.yaml:123-125).
+    """
+    et, tc, wt = pred[0] > 0, pred[1] > 0, pred[2] > 0
+    out = np.zeros(pred.shape[1:], np.uint8)
+    out[wt] = 2
+    out[tc] = 1
+    out[et] = 3
+    return out
+
+
+def _uncollate(batch: dict, i: int) -> dict:
+    out = {}
+    for k, v in batch.items():
+        out[k] = v[i] if isinstance(v, (list, np.ndarray)) else v
+    return out
+
+
+def evaluate_bundle(
+    model,
+    ckpt_path,
+    val_loader,
+    roi_size: Sequence[int],
+    output_dir: Optional[str] = None,
+    case_metrics_path: Optional[str] = None,
+    sw_batch_size: int = 2,
+    overlap: float = 0.5,
+    compute_hd95: bool = True,
+) -> dict:
+    """Checkpointed sliding-window evaluation with per-case metrics + NIfTI export."""
+    variables = load_model_checkpoint(model, ckpt_path, roi_size)
+    evaluator = Evaluator(model, variables, roi_size, sw_batch_size, overlap, compute_hd95=False)
+
+    cases, dices, hds = [], [], []
+    for batch in val_loader:
+        logits = evaluator.predict(batch["image"])
+        probs = np.asarray(jax.nn.sigmoid(logits))
+        preds = (probs > 0.5).astype(np.uint8)
+        labels = np.asarray(batch["label"])
+
+        d = np.asarray(dice_metric(jnp.asarray(preds), jnp.asarray(labels)))
+        dices.append(d)
+        case = {"dice": [float(v) for v in np.nanmean(d, axis=0)]}
+        if compute_hd95:
+            hd = [
+                hausdorff_distance_95(preds[0, c], labels[0, c])
+                for c in range(preds.shape[1])
+            ]
+            hds.append(hd)
+            case["hd95"] = hd
+        ids = batch.get("id")
+        if ids:
+            case["id"] = ids[0]
+        cases.append(case)
+
+        if output_dir is not None:
+            sample = _uncollate(batch, 0)
+            sample["pred"] = preds[0]
+            inverted = T.Invertd(["pred"], orig_keys="image")(sample)
+            T.SaveImaged(["pred"], output_dir=output_dir)(inverted)
+
+    metrics = {
+        "mean_dice": float(np.nanmean(np.concatenate(dices, axis=0))) if dices else float("nan"),
+    }
+    if hds:
+        metrics["hd95"] = float(np.nanmean(np.asarray(hds)))
+    if case_metrics_path:
+        Path(case_metrics_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(case_metrics_path).write_text(json.dumps({"cases": cases, **metrics}, indent=2))
+    logger.info("evaluation: %s", metrics)
+    print(json.dumps(metrics))
+    return metrics
+
+
+def ensemble_inference(
+    model,
+    ckpt_paths: Sequence[str],
+    datalist_path: str,
+    data_dir: str,
+    roi_size: Sequence[int],
+    pix_size: Sequence[float],
+    output_dir: str,
+    dataset: str = "",
+    section: str = "test",
+    sw_batch_size: int = 2,
+    overlap: float = 0.5,
+    aot_compile: bool = False,
+) -> list[str]:
+    """k-fold mean-ensemble inference over a datalist, saving NIfTI predictions."""
+    if not ckpt_paths:
+        raise ValueError("No checkpoints found for ensembling.")
+    variables_list = [load_model_checkpoint(model, p, roi_size) for p in ckpt_paths]
+
+    spatial_dims = len(roi_size)
+    pre = [T.LoadImaged(["image"], ensure_channel_first=True)]
+    if spatial_dims == 3:
+        pre += [
+            T.CropForegroundd(["image"], source_key="image", margin=10),
+            T.Orientationd(["image"], axcodes="RAS"),
+        ]
+    pre += [T.NormalizeIntensityd(["image"], nonzero=True, channel_wise=True)]
+    if spatial_dims == 3:
+        pre += [T.Spacingd(["image"], pixdim=pix_size, mode="bilinear")]
+    pre += [T.SpatialPadd(["image"], spatial_size=roi_size)]
+    preprocessing = T.Compose(pre)
+
+    def predictor_factory(variables):
+        def fwd(windows):
+            out = model.apply(variables, windows)
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        if aot_compile:
+            # AOT-compile for fixed window shapes (the XLA serving analogue of
+            # the reference's TensorRT overlay, inference_trt.yaml:1-5).
+            in_ch = getattr(model, "in_channels")
+            shape = jax.ShapeDtypeStruct((sw_batch_size, in_ch, *roi_size), jnp.float32)
+            return jax.jit(fwd).lower(shape).compile()
+        return fwd
+
+    predictors = [predictor_factory(v) for v in variables_list]
+
+    items = load_decathlon_datalist(datalist_path, section=section, base_dir=data_dir)
+    if not items:
+        items = load_decathlon_datalist(datalist_path, section="training", base_dir=data_dir)
+    saved = []
+    for item in items:
+        d = preprocessing(dict(item))
+        image = jnp.asarray(d["image"])[None]
+        probs = None
+        for fwd in predictors:
+            logits = sliding_window_inference(
+                image, roi_size, fwd, sw_batch_size=sw_batch_size, overlap=overlap
+            )
+            p = jax.nn.sigmoid(logits)
+            probs = p if probs is None else probs + p
+        probs = np.asarray(probs)[0] / len(predictors)
+        d["pred"] = (probs > 0.5).astype(np.uint8)
+        d = T.Invertd(["pred"], orig_keys="image")(d)
+        if dataset == "brats23":
+            d["pred"] = fuse_brats_labels(d["pred"])[None]
+        T.SaveImaged(["pred"], output_dir=output_dir)(d)
+        saved.append(d.get("pred_saved_path"))
+        logger.info("saved %s", saved[-1])
+    return saved

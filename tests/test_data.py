@@ -1,0 +1,226 @@
+"""Tests for NIfTI IO, dict transforms (incl. inversion), datasets, config."""
+
+import numpy as np
+import pytest
+
+from factorizer_tpu.config import ConfigParser, merge_config, parse_override
+from factorizer_tpu.data import (
+    DataLoader,
+    Dataset,
+    CacheDataset,
+    load_nifti,
+    save_nifti,
+    load_decathlon_datalist,
+    partition_datalist,
+    stratified_kfold,
+)
+from factorizer_tpu.data import transforms as T
+
+
+class TestNifti:
+    @pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+    def test_roundtrip(self, tmp_path, suffix):
+        data = np.random.default_rng(0).random((7, 9, 11)).astype(np.float32)
+        affine = np.array(
+            [[0, -1.5, 0, 10], [2.0, 0, 0, -5], [0, 0, 1.0, 3], [0, 0, 0, 1]], float
+        )
+        path = tmp_path / f"vol{suffix}"
+        save_nifti(path, data, affine)
+        img = load_nifti(path)
+        np.testing.assert_allclose(img.data, data, atol=1e-6)
+        np.testing.assert_allclose(img.affine, affine, atol=1e-5)
+        np.testing.assert_allclose(sorted(img.spacing), [1.0, 1.5, 2.0], atol=1e-5)
+
+    def test_int_dtype(self, tmp_path):
+        data = (np.random.default_rng(0).random((5, 5, 5)) * 3).astype(np.uint8)
+        save_nifti(tmp_path / "m.nii.gz", data)
+        img = load_nifti(tmp_path / "m.nii.gz")
+        np.testing.assert_array_equal(img.data, data)
+
+
+def _sample(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.random((12, 14, 10)).astype(np.float32)
+    img[:2] = 0  # background border for crop-foreground
+    lbl = np.zeros((12, 14, 10), np.uint8)
+    lbl[4:8, 5:9, 3:7] = 1
+    lbl[5:7, 6:8, 4:6] = 3
+    affine = np.diag([2.0, 2.0, 2.0, 1.0])
+    save_nifti(tmp_path / "img.nii.gz", img, affine)
+    save_nifti(tmp_path / "lbl.nii.gz", lbl, affine)
+    return {"image": str(tmp_path / "img.nii.gz"), "label": str(tmp_path / "lbl.nii.gz")}
+
+
+class TestTransforms:
+    def test_load_and_channel_first(self, tmp_path):
+        d = T.LoadImaged(["image", "label"])(_sample(tmp_path))
+        assert d["image"].shape == (1, 12, 14, 10)
+        assert "image_meta" in d
+
+    def test_brats_onehot(self, tmp_path):
+        d = T.LoadImaged(["label"], dtype=None)(_sample(tmp_path))
+        d = T.BraTSOneHotEncoderd(["label"])(d)
+        assert d["label"].shape == (3, 12, 14, 10)
+        et, tc, wt = d["label"]
+        assert (et <= tc).all() and (tc <= wt).all()  # nested regions
+
+    def test_normalize_nonzero(self, tmp_path):
+        d = T.LoadImaged(["image"])(_sample(tmp_path))
+        d = T.NormalizeIntensityd(["image"], nonzero=True, channel_wise=True)(d)
+        nz = d["image"][d["image"] != 0]
+        assert abs(nz.mean()) < 0.1
+
+    def test_spacing_resamples(self, tmp_path):
+        d = T.LoadImaged(["image"])(_sample(tmp_path))
+        d = T.Spacingd(["image"], pixdim=(1.0, 1.0, 1.0), mode="bilinear")(d)
+        assert d["image"].shape == (1, 24, 28, 20)  # 2mm -> 1mm doubles size
+
+    def test_pad_and_crop(self, tmp_path):
+        d = T.LoadImaged(["image"])(_sample(tmp_path))
+        d = T.SpatialPadd(["image"], spatial_size=(16, 16, 16))(d)
+        assert d["image"].shape == (1, 16, 16, 16)
+        t = T.RandSpatialCropd(["image"], roi_size=(8, 8, 8))
+        t.set_random_state(0)
+        d = t(d)
+        assert d["image"].shape == (1, 8, 8, 8)
+
+    def test_random_transforms_run(self, tmp_path):
+        d = T.LoadImaged(["image", "label"], dtype=None)(_sample(tmp_path))
+        d["image"] = d["image"].astype(np.float32)
+        pipeline = T.Compose(
+            [
+                T.RandAffined(["image", "label"], prob=1.0, rotate_range=(0.2, 0.2, 0.2),
+                              scale_range=(0.1, 0.1, 0.1), mode=["bilinear", "nearest"]),
+                T.RandGaussianNoised(["image"], prob=1.0, std=0.05),
+                T.RandGaussianSmoothd(["image"], prob=1.0),
+                T.RandScaleIntensityd(["image"], prob=1.0, factors=0.3),
+                T.RandShiftIntensityd(["image"], prob=1.0, offsets=0.1),
+                T.RandFlipd(["image", "label"], prob=1.0, spatial_axis=0),
+            ]
+        ).set_random_state(42)
+        out = pipeline(d)
+        assert out["image"].shape == d["image"].shape
+        assert np.isfinite(out["image"]).all()
+        assert set(np.unique(out["label"])) <= set(np.unique(d["label"]))  # nearest keeps labels
+
+    def test_invertd_roundtrip_geometry(self, tmp_path):
+        """pred in processed space -> Invertd -> native image geometry."""
+        d = T.LoadImaged(["image"])(_sample(tmp_path))
+        orig_shape = d["image"].shape
+        pipe = T.Compose(
+            [
+                T.CropForegroundd(["image"], source_key="image", margin=1),
+                T.Orientationd(["image"], axcodes="RAS"),
+                T.Spacingd(["image"], pixdim=(1.0, 1.0, 1.0)),
+                T.SpatialPadd(["image"], spatial_size=(28, 28, 28)),
+            ]
+        )
+        d = pipe(d)
+        d["pred"] = np.ones_like(d["image"])
+        out = T.Invertd(["pred"], orig_keys="image")(d)
+        assert out["pred"].shape == orig_shape
+
+    def test_post_transforms(self):
+        d = {"pred": np.array([[[-10.0, 10.0]]])}
+        d = T.Activationsd(["pred"], sigmoid=True)(d)
+        d = T.AsDiscreted(["pred"], threshold=0.5)(d)
+        np.testing.assert_array_equal(d["pred"], [[[0, 1]]])
+        d2 = {"pred": np.random.rand(3, 2, 2)}
+        d2 = T.SplitDimd(["pred"], output_postfixes=["et", "tc", "wt"])(d2)
+        assert d2["pred_et"].shape == (1, 2, 2)
+
+
+class TestDatasetLoader:
+    def test_dataset_and_loader(self):
+        data = [{"x": np.full((2, 2), i, np.float32), "id": f"c{i}"} for i in range(10)]
+        ds = Dataset(data)
+        dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=1)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["x"].shape == (4, 2, 2)
+        assert len(batches[0]["id"]) == 4
+        # epoch reshuffling is deterministic per epoch
+        dl.set_epoch(0)
+        again = list(dl)
+        np.testing.assert_array_equal(batches[0]["x"], again[0]["x"])
+
+    def test_cache_dataset_applies_random_tail(self):
+        calls = {"n": 0}
+
+        def det(d):
+            calls["n"] += 1
+            return d
+
+        t = T.RandShiftIntensityd(["x"], prob=1.0, offsets=(5.0, 5.0))
+        t.set_random_state(0)
+        data = [{"x": np.zeros((2,), np.float32)} for _ in range(3)]
+        ds = CacheDataset(data, transform=det, random_transform=t, num_workers=0)
+        _ = [ds[i] for i in range(3)]
+        _ = [ds[i] for i in range(3)]
+        assert calls["n"] == 3  # deterministic part cached
+        assert ds[0]["x"][0] == pytest.approx(5.0)
+
+    def test_datalist_folds(self, tmp_path):
+        import json
+
+        items = [{"id": i, "fold": i % 3} for i in range(9)]
+        path = tmp_path / "dl.json"
+        path.write_text(json.dumps({"training": items, "test": []}))
+        train = load_decathlon_datalist(path, "training", fold=0)
+        val = load_decathlon_datalist(path, "validation", fold=0)
+        assert len(train) == 6 and len(val) == 3
+        assert all(x["fold"] != 0 for x in train)
+
+    def test_partition(self):
+        items = list(range(10))
+        shards = [partition_datalist(items, 4, i) for i in range(4)]
+        assert sorted(sum(shards, [])) == items
+
+    def test_stratified_kfold_balance(self):
+        vals = np.concatenate([np.ones(20), np.full(20, 100.0)])
+        folds = stratified_kfold(vals, num_folds=5)
+        for f in range(5):
+            sel = [v for v, g in zip(vals, folds) if g == f]
+            assert 1.0 in sel and 100.0 in sel  # each fold sees both strata
+
+
+class TestConfig:
+    def test_refs_exprs_instantiate(self):
+        cfg = {
+            "a": 3,
+            "b": "@a",
+            "c": "$@a * 2 + 1",
+            "lst": [1, "@a"],
+            "norm": {"_target_": "LayerNorm", "dim": 8},
+            "disabled": {"_target_": "LayerNorm", "dim": 8, "_disabled_": True},
+        }
+        p = ConfigParser(cfg)
+        assert p["b"] == 3
+        assert p["c"] == 7
+        assert p["lst"] == [1, 3]
+        import factorizer_tpu as ftx
+
+        assert isinstance(p["norm"], ftx.LayerNorm)
+        assert p["disabled"] is None
+
+    def test_subkey_refs_and_overlay(self):
+        cfg = {"opt": {"lr": 0.1, "wd": 0.01}, "lr2": "$@opt#lr * 2"}
+        cfg = merge_config(cfg, {"opt#lr": 0.2})
+        p = ConfigParser(cfg)
+        assert p["opt"]["lr"] == pytest.approx(0.2)
+        assert p["lr2"] == pytest.approx(0.4)
+
+    def test_parse_override(self):
+        k, v = parse_override("trainer#lr=0.005")
+        assert k == "trainer#lr" and v == pytest.approx(0.005)
+        k, v = parse_override("flag=true")
+        assert v is True
+
+    def test_dotted_import_target(self):
+        p = ConfigParser({"fn": {"_target_": "numpy.zeros", "shape": [2, 2]}})
+        assert p["fn"].shape == (2, 2)
+
+    def test_circular_reference_detected(self):
+        p = ConfigParser({"a": "@b", "b": "@a"})
+        with pytest.raises(ValueError):
+            p["a"]

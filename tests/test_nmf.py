@@ -140,7 +140,8 @@ class TestSVD:
 
 class TestKMeans:
     def _blobs(self, key, n=64, d=8, k=3):
-        centers = jax.random.normal(key, (k, d)) * 5
+        # well-separated deterministic centers; tiny jitter
+        centers = 10.0 * jnp.eye(k, d)
         labels = jnp.arange(n) % k
         pts = centers[labels] + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (n, d))
         return pts[None], labels

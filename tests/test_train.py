@@ -1,0 +1,162 @@
+"""Tests for losses, metrics, sliding-window inference, and the train loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import factorizer_tpu as ftx
+from factorizer_tpu.train import (
+    MeanDice,
+    dice_ce_loss,
+    dice_loss,
+    dice_metric,
+    hausdorff_distance_95,
+    make_adamw,
+    sliding_window_inference,
+    sliding_window_positions,
+)
+from factorizer_tpu.train.trainer import create_train_state, make_train_step
+
+
+class TestLosses:
+    def test_dice_loss_perfect(self):
+        t = jnp.zeros((2, 3, 8, 8))
+        t = t.at[:, :, 2:6, 2:6].set(1.0)
+        logits = jnp.where(t > 0, 20.0, -20.0)
+        assert float(dice_loss(logits, t)) < 1e-3
+
+    def test_dice_loss_worst(self):
+        t = jnp.ones((1, 1, 8, 8))
+        logits = jnp.full_like(t, -20.0)
+        assert float(dice_loss(logits, t)) > 0.99
+
+    def test_dice_ce_gradient(self):
+        t = jax.random.bernoulli(jax.random.key(0), 0.3, (2, 3, 8, 8)).astype(jnp.float32)
+        x = jax.random.normal(jax.random.key(1), (2, 3, 8, 8))
+        g = jax.grad(lambda x: dice_ce_loss(x, t))(x)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestMetrics:
+    def test_dice_metric_exact(self):
+        pred = jnp.zeros((1, 2, 8, 8)).at[:, :, :4].set(1)
+        assert np.allclose(np.asarray(dice_metric(pred, pred)), 1.0)
+
+    def test_dice_metric_nan_for_empty(self):
+        z = jnp.zeros((1, 1, 8, 8))
+        assert np.isnan(np.asarray(dice_metric(z, z))).all()
+
+    def test_mean_dice_accumulator(self):
+        md = MeanDice()
+        pred = jnp.zeros((1, 1, 8, 8)).at[:, :, :4].set(1)
+        target = jnp.zeros((1, 1, 8, 8)).at[:, :, :4].set(1)
+        md.update(pred, target)
+        assert md.compute() == pytest.approx(1.0)
+
+    def test_hd95_zero_for_identical(self):
+        m = np.zeros((16, 16, 16), bool)
+        m[4:12, 4:12, 4:12] = True
+        assert hausdorff_distance_95(m, m) == 0.0
+
+    def test_hd95_shifted(self):
+        a = np.zeros((16, 16), bool)
+        b = np.zeros((16, 16), bool)
+        a[4:8, 4:8] = True
+        b[6:10, 4:8] = True  # shifted by 2
+        d = hausdorff_distance_95(a, b)
+        assert 1.0 <= d <= 3.0
+
+    def test_hd95_nan_for_empty(self):
+        a = np.zeros((8, 8), bool)
+        b = np.ones((8, 8), bool)
+        assert np.isnan(hausdorff_distance_95(a, b))
+
+
+class TestSlidingWindow:
+    def test_positions_cover_volume(self):
+        pos = sliding_window_positions((20, 20), (8, 8), overlap=0.5)
+        covered = np.zeros((20, 20), bool)
+        for p in pos:
+            covered[p[0] : p[0] + 8, p[1] : p[1] + 8] = True
+        assert covered.all()
+
+    def test_identity_predictor_roundtrip(self):
+        """With an identity predictor, blending must reproduce the input."""
+        x = jax.random.uniform(jax.random.key(0), (1, 2, 20, 20))
+        out = sliding_window_inference(x, (8, 8), lambda w: w, sw_batch_size=3, overlap=0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_small_volume_padding(self):
+        """Volume smaller than roi gets padded and cropped back."""
+        x = jax.random.uniform(jax.random.key(0), (1, 2, 6, 6))
+        out = sliding_window_inference(x, (8, 8), lambda w: w * 2.0)
+        assert out.shape == (1, 2, 6, 6)
+        np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), atol=1e-5)
+
+
+class TestTrainStep:
+    def _tiny_model(self):
+        return ftx.Factorizer(
+            in_channels=2,
+            out_channels=1,
+            spatial_size=(8, 8, 8),
+            encoder_depth=(1, 1),
+            encoder_width=(4, 8),
+            strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+            rank=1,
+            num_iters=2,
+            init_method="uniform",
+            solver="hals",
+            mlp_ratio=2,
+        )
+
+    def test_loss_decreases(self):
+        model = self._tiny_model()
+        x = jax.random.uniform(jax.random.key(0), (2, 2, 8, 8, 8))
+        y = (jax.random.uniform(jax.random.key(1), (2, 1, 8, 8, 8)) > 0.5).astype(jnp.float32)
+        tx = make_adamw(lr=1e-2)
+        state = create_train_state(model, tx, x, jax.random.key(2), {"train": False})
+        step = make_train_step(model)
+        batch = {"image": x, "label": y}
+        losses = []
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.key(10 + i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 8
+
+    def test_data_parallel_mesh_step(self):
+        """DP over the virtual multi-device mesh produces finite loss."""
+        from factorizer_tpu.parallel.mesh import make_mesh
+
+        n = min(len(jax.devices()), 4)
+        if n < 2:
+            pytest.skip("needs >=2 devices")
+        mesh = make_mesh({"data": n})
+        model = self._tiny_model()
+        x = jax.random.uniform(jax.random.key(0), (n * 2, 2, 8, 8, 8))
+        y = jnp.zeros((n * 2, 1, 8, 8, 8))
+        tx = make_adamw(lr=1e-3)
+        state = create_train_state(model, tx, x, jax.random.key(2), {"train": False})
+        with mesh:
+            step = make_train_step(model, mesh=mesh)
+            state, metrics = step(state, {"image": x, "label": y}, jax.random.key(3))
+        assert bool(jnp.isfinite(metrics["loss"]))
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        from factorizer_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+        tree = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.asarray(7),
+        }
+        save_checkpoint(tmp_path / "ckpt", tree)
+        restored = restore_checkpoint(tmp_path / "ckpt", template=tree)
+        np.testing.assert_array_equal(restored["params"]["w"], np.arange(6.0).reshape(2, 3))
+        assert int(restored["step"]) == 7
