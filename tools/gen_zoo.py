@@ -112,13 +112,52 @@ def deconver_net(ds: dict) -> dict:
     }
 
 
-MODELS = {"factorizer": factorizer_net, "deconver": deconver_net}
+def segresnet_net(ds: dict) -> dict:
+    return {
+        "_target_": "SegResNet",
+        "in_channels": ds["in_channels"],
+        "out_channels": ds["out_channels"],
+        "init_filters": 32,
+        "blocks_down": [1, 2, 2, 4],
+        "blocks_up": [1, 1, 1],
+        "dropout": 0.2,
+    }
+
+
+def nnunet_net(ds: dict) -> dict:
+    nd = ds["spatial_dims"]
+    return {
+        "_target_": "DynUNet",
+        "in_channels": ds["in_channels"],
+        "out_channels": ds["out_channels"],
+        "spatial_dims": nd,
+        "kernel_size": [3, 3, 3, 3, 3],
+        "strides": [1, 2, 2, 2, 2],
+        "deep_supervision": True,
+        "deep_supr_num": 2,
+    }
+
+
+MODELS = {
+    "factorizer": factorizer_net,
+    "deconver": deconver_net,
+    "segresnet": segresnet_net,
+    "nnunet": nnunet_net,
+}
 BUNDLES = [
+    # the reference zoo matrix (model_zoo/): swinunetr_isles22 pending the
+    # SwinUNETR model implementation
     ("factorizer", "brats23"),
     ("deconver", "brats23"),
+    ("nnunet", "brats23"),
+    ("segresnet", "brats23"),
     ("factorizer", "isles22"),
     ("deconver", "isles22"),
+    ("nnunet", "isles22"),
+    ("segresnet", "isles22"),
     ("deconver", "fives"),
+    ("nnunet", "fives"),
+    ("segresnet", "fives"),
 ]
 
 
