@@ -51,9 +51,15 @@ def _time(fn, x, reps: int = 3) -> float:
 
 
 def main() -> None:
+    import os
+
     from __graft_entry__ import _flagship
 
-    model = _flagship()
+    # bf16 activations are the TPU-native serving configuration (solver math
+    # stays float32 inside the fused kernel); set FTX_BENCH_DTYPE=float32 for
+    # the full-precision variant.
+    dtype = os.environ.get("FTX_BENCH_DTYPE", "bfloat16")
+    model = _flagship(dtype=jnp.bfloat16 if dtype == "bfloat16" else None)
     x = jax.random.uniform(jax.random.key(1), (1, 2, 128, 128, 128), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x)
 

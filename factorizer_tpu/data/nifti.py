@@ -115,7 +115,27 @@ def _parse_header(raw: bytes) -> dict:
 
 
 def load_nifti(path: str | Path, dtype: Optional[np.dtype] = None) -> NiftiImage:
-    """Load a .nii / .nii.gz volume with its affine."""
+    """Load a .nii / .nii.gz volume with its affine.
+
+    Uses the native C++ decoder (gzip inflate + cast in one pass, GIL
+    released) when available and ``FTX_NATIVE != 0``; falls back to the pure
+    numpy reader.  Note the native path always produces float32 voxels.
+    """
+    import os as _os
+
+    if (
+        _os.environ.get("FTX_NATIVE", "1") != "0"
+        and dtype is not None
+        and np.dtype(dtype) == np.float32
+    ):
+        from .native import native_load_nifti
+
+        out = native_load_nifti(path)
+        if out is not None:
+            data, affine = out
+            if dtype is not None:
+                data = data.astype(dtype)
+            return NiftiImage(data=data, affine=affine, header={"native": True})
     path = Path(path)
     opener = gzip.open if path.name.endswith(".gz") else open
     with opener(path, "rb") as f:

@@ -144,6 +144,12 @@ class MatrixFactorization(nn.Module):
                 self.eps if self.eps is not None else 1e-16,
                 self.num_grad_steps,
             )
+        # Solver numerics want >= float32 (eps-regularized divides); the fused
+        # kernel above reads low-precision inputs and upcasts in VMEM, while
+        # the XLA path upcasts here and casts the reconstruction back.
+        if x.dtype in (jnp.bfloat16, jnp.float16):
+            u, v = self.decompose(x.astype(jnp.float32))
+            return self.reconstruct(u, v).astype(x.dtype)
         u, v = self.decompose(x)
         return self.reconstruct(u, v)
 

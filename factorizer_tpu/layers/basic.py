@@ -108,12 +108,14 @@ class Linear(nn.Module):
     in_channels: int
     out_channels: int
     bias: Any = True  # truthiness, matching the reference quirk (factorizer.py:31)
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Dense(
             self.out_channels,
             use_bias=bool(self.bias),
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(self.in_channels),
             name="linear",
@@ -129,10 +131,11 @@ class LayerNorm(nn.Module):
 
     dim: int
     eps: float = 1e-5  # torch default
+    dtype: Any = None  # output/compute dtype; statistics always in float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
 
 
 class Dropout(nn.Module):
@@ -157,6 +160,7 @@ class MLP(nn.Module):
     ratio: float = 3.0
     dropout: float | tuple[float, float] = 0.0
     bias: Any = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -164,10 +168,10 @@ class MLP(nn.Module):
         hidden = self.hidden_channels or int(self.ratio * self.in_channels)
         d1, d2 = to_ntuple(self.dropout, 2)
 
-        x = Linear(self.in_channels, hidden, bias=self.bias, name="fc1")(x)
+        x = Linear(self.in_channels, hidden, bias=self.bias, dtype=self.dtype, name="fc1")(x)
         x = _gelu_exact(x)
         x = nn.Dropout(rate=d1, deterministic=deterministic)(x)
-        x = Linear(hidden, out_ch, bias=self.bias, name="fc2")(x)
+        x = Linear(hidden, out_ch, bias=self.bias, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(rate=d2, deterministic=deterministic)(x)
         return x
 
@@ -187,6 +191,7 @@ class Conv(nn.Module):
     groups: int = 1
     bias: Any = True
     dilation: int | Sequence[int] = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -202,6 +207,7 @@ class Conv(nn.Module):
             feature_group_count=self.groups,
             use_bias=bool(self.bias),
             kernel_dilation=to_ntuple(self.dilation, p),
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(fan_in),
             name="conv",
@@ -220,6 +226,7 @@ class ConvTranspose(nn.Module):
     kernel_size: int | Sequence[int] = 2
     stride: int | Sequence[int] = 2
     bias: Any = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -232,6 +239,7 @@ class ConvTranspose(nn.Module):
             strides=to_ntuple(self.stride, p),
             padding="VALID",
             use_bias=bool(self.bias),
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(fan_in),
             name="conv",

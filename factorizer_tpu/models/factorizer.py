@@ -60,9 +60,10 @@ class FactMixer(nn.Module):
     init_method: Any = None
     solver: Any = None
     factorize_options: Any = None
+    dtype: Any = None
 
     def setup(self) -> None:
-        self.in_proj = Linear(self.in_channels, self.out_channels, bias=False)
+        self.in_proj = Linear(self.in_channels, self.out_channels, bias=False, dtype=self.dtype)
 
         # Fold/unfold operator over the channels-last volume.
         reshape_fn = partialize(self.reshape)
@@ -90,7 +91,7 @@ class FactMixer(nn.Module):
         # positional arg lands in `bias` (truthy), i.e. bias=True
         # (factorizer.py:31).  We use out_channels as the input width, which
         # is what the data actually has.
-        self.out_proj = Linear(self.out_channels, self.out_channels, bias=True)
+        self.out_proj = Linear(self.out_channels, self.out_channels, bias=True, dtype=self.dtype)
         self.drop = nn.Dropout(rate=self.dropout)
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -126,10 +127,12 @@ class FactorizerBlock(nn.Module):
     init_method: Any = None
     solver: Any = None
     factorize_options: Any = None
+    dtype: Any = None
 
     def setup(self) -> None:
         norm = partialize(self.norm)
-        self.norm1 = norm(self.channels)
+        norm_kwargs = {"dtype": self.dtype} if spec_accepts(self.norm, "dtype") else {}
+        self.norm1 = norm(self.channels, **norm_kwargs)
         self.fact = FactMixer(
             self.channels,
             self.channels,
@@ -145,9 +148,10 @@ class FactorizerBlock(nn.Module):
             init_method=self.init_method,
             solver=self.solver,
             factorize_options=self.factorize_options,
+            dtype=self.dtype,
         )
-        self.norm2 = norm(self.channels)
-        self.mlp = MLP(self.channels, ratio=self.mlp_ratio, dropout=self.dropout)
+        self.norm2 = norm(self.channels, **norm_kwargs)
+        self.mlp = MLP(self.channels, ratio=self.mlp_ratio, dropout=self.dropout, dtype=self.dtype)
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = x + self.fact(self.norm1(x), deterministic=deterministic)
@@ -180,10 +184,14 @@ class FactorizerStage(nn.Module):
     init_method: Any = None
     solver: Any = None
     factorize_options: Any = None
+    dtype: Any = None
 
     def setup(self) -> None:
         if self.in_channels != self.out_channels:
-            self.adapter_ = partialize(self.adapter)(self.in_channels, self.out_channels)
+            adapter_kwargs = {"dtype": self.dtype} if spec_accepts(self.adapter, "dtype") else {}
+            self.adapter_ = partialize(self.adapter)(
+                self.in_channels, self.out_channels, **adapter_kwargs
+            )
         else:
             self.adapter_ = None
 
@@ -210,6 +218,7 @@ class FactorizerStage(nn.Module):
                 init_method=self.init_method,
                 solver=self.solver,
                 factorize_options=self.factorize_options,
+                dtype=self.dtype,
                 name=f"block{i}",
             )
             for i in range(self.depth)
@@ -260,6 +269,7 @@ class Factorizer(nn.Module):
     init_method: Any = None
     solver: Any = None
     factorize_options: Any = None
+    dtype: Any = None
 
     def setup(self) -> None:
         stem = self.stem
@@ -282,6 +292,7 @@ class Factorizer(nn.Module):
             init_method=self.init_method,
             solver=self.solver,
             factorize_options=self.factorize_options,
+            dtype=self.dtype,
         )
         n_enc = len(self.encoder_depth)
         n_dec = len(self.decoder_depth)
@@ -305,6 +316,7 @@ class Factorizer(nn.Module):
             head=self.head,
             num_deep_supr=self.num_deep_supr,
             data_format=self.data_format,
+            dtype=self.dtype,
         )
 
     def forward_features(self, x: Array, deterministic: bool = True) -> list[Array]:

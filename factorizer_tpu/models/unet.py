@@ -124,7 +124,7 @@ class UNet(nn.Module):
         self.stem_ = (
             Identity(name="stem")
             if stem_spec is None
-            else build_block(stem_spec, self.in_channels, stem_width, name="stem")
+            else build_block(stem_spec, self.in_channels, stem_width, dtype=self.dtype, name="stem")
         )
 
         downsample = self.downsample or (Conv, {"kernel_size": 2})
@@ -151,7 +151,8 @@ class UNet(nn.Module):
             else:
                 enc_downs.append(
                     build_block(
-                        downsample, widths[i], widths[i + 1], stride=stride, name=f"down{i}"
+                        downsample, widths[i], widths[i + 1], stride=stride,
+                        dtype=self.dtype, name=f"down{i}",
                     )
                 )
             enc_blocks.append(
@@ -178,7 +179,8 @@ class UNet(nn.Module):
                 size = tuple(d * stride for d in size)
             dec_ups.append(
                 build_block(
-                    upsample, dec_widths[i], dec_widths[i + 1], stride=stride, name=f"up{i}"
+                    upsample, dec_widths[i], dec_widths[i + 1], stride=stride,
+                    dtype=self.dtype, name=f"up{i}",
                 )
             )
             dec_blocks.append(

@@ -52,7 +52,11 @@ def _hals_iter(x: Array, u: Array, v: Array, eps: float) -> tuple[Array, Array]:
         for r in range(R):
             others = [j for j in range(R) if j != r]
             u_others = jnp.concatenate([cols[j] for j in others], axis=-1)
-            b_others = b[..., others, r : r + 1]
+            # static slices (no gather: fancy indexing captures constant
+            # index arrays, which Pallas kernels cannot close over)
+            b_others = jnp.concatenate(
+                [b[..., j : j + 1, r : r + 1] for j in others], axis=-2
+            )
             num = a[..., r : r + 1] - u_others @ b_others + eps
             den = b[..., r : r + 1, r : r + 1] + eps
             cols[r] = relu(num / den)

@@ -1,0 +1,83 @@
+"""Fused Pallas NMF kernel: correctness vs the XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from factorizer_tpu.ops.pallas.nmf_kernel import (
+    nmf_reconstruct,
+    supports,
+    xla_nmf_reconstruct,
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((6, 5, 8, 32), dtype=np.float32))
+    u0 = jnp.asarray(rng.random((8, 1), dtype=np.float32))
+    v0 = jnp.asarray(rng.random((32, 1), dtype=np.float32))
+    return x, u0, v0
+
+
+@pytest.mark.parametrize("solver", ["hals", "mu"])
+def test_forward_matches_xla(data, solver):
+    x, u0, v0 = data
+    y_k = jax.jit(lambda x: nmf_reconstruct(x, u0, v0, solver, 5))(x)
+    y_x = xla_nmf_reconstruct(x, u0, v0, solver, 5)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), atol=2e-5)
+
+
+def test_rank2_matches_xla(data):
+    x, _, _ = data
+    rng = np.random.default_rng(1)
+    u0 = jnp.asarray(rng.random((8, 2), dtype=np.float32))
+    v0 = jnp.asarray(rng.random((32, 2), dtype=np.float32))
+    y_k = jax.jit(lambda x: nmf_reconstruct(x, u0, v0, "hals", 3))(x)
+    y_x = xla_nmf_reconstruct(x, u0, v0, "hals", 3)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), atol=2e-5)
+
+
+def test_gradient_matches_xla(data):
+    x, u0, v0 = data
+    g_k = jax.jit(jax.grad(lambda x: nmf_reconstruct(x, u0, v0, "hals", 3).sum()))(x)
+    g_x = jax.grad(lambda x: xla_nmf_reconstruct(x, u0, v0, "hals", 3).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_x), atol=2e-4)
+
+
+def test_gradient_truncation_semantics(data):
+    """num_grad_steps=0 makes the kernel output constant w.r.t. x."""
+    x, u0, v0 = data
+    g = jax.jit(
+        jax.grad(lambda x: nmf_reconstruct(x, u0, v0, "hals", 3, 1e-16, 0).sum())
+    )(x)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_bf16_input_supported(data):
+    x, u0, v0 = data
+    y = jax.jit(lambda x: nmf_reconstruct(x.astype(jnp.bfloat16), u0, v0, "hals", 3))(x)
+    assert y.dtype == jnp.bfloat16
+    y_x = xla_nmf_reconstruct(x, u0, v0, "hals", 3)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_x), atol=0.05, rtol=0.05
+    )
+
+
+def test_supports_predicate():
+    assert supports("hals", 1, (8, 512))
+    assert supports("mu", 4, (8, 512))
+    assert not supports("ls", 1, (8, 512))
+    assert not supports("hals", 9, (8, 512))
+
+
+def test_nonuniform_batch_padding():
+    """n_mats not divisible by the tile -> pad path is exercised."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((7, 8, 32), dtype=np.float32))  # 7 matrices
+    u0 = jnp.asarray(rng.random((8, 1), dtype=np.float32))
+    v0 = jnp.asarray(rng.random((32, 1), dtype=np.float32))
+    y_k = jax.jit(lambda x: nmf_reconstruct(x, u0, v0, "hals", 2))(x)
+    y_x = xla_nmf_reconstruct(x, u0, v0, "hals", 2)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), atol=2e-5)

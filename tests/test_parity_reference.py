@@ -72,8 +72,12 @@ def test_nmf_gradient_parity():
             ref.init.u0.copy_(torch.from_numpy(u0))
             ref.init.v0.copy_(torch.from_numpy(v0))
         xt = torch.from_numpy(x).requires_grad_(True)
-        ref(xt).sum().backward()
-        g_ref = xt.grad.numpy()
+        out = ref(xt).sum()
+        if out.requires_grad:
+            out.backward()
+            g_ref = xt.grad.numpy()
+        else:  # fully truncated graph (num_grad_steps=0): gradient is zero
+            g_ref = np.zeros_like(x)
 
         ours = ftx.NMF(
             size=(8, 32), rank=2, num_iters=4, num_grad_steps=num_grad_steps,
@@ -134,14 +138,16 @@ def test_deconv_parity(groups, update_filter):
 
 def test_kmeans_parity():
     rng = np.random.default_rng(4)
-    x = rng.random((2, 32, 8))
+    # float32: the reference's scatter-based update hardcodes float32 for the
+    # membership matrix (kmeans.py:48), so a double run errors there.
+    x = rng.random((2, 32, 8)).astype(np.float32)
 
     ref = ft_ref.KMeans(num_centers=4, num_iters=5)
-    u_ref, v_ref = ref(torch.from_numpy(x).double())
+    u_ref, v_ref = ref(torch.from_numpy(x))
 
     ours = ftx.KMeans(num_centers=4, num_iters=5)
     u, v = jax.jit(ours)(jnp.asarray(x))
 
     # Same seeded init indices -> same clustering trajectory.
-    np.testing.assert_allclose(np.asarray(u), u_ref.numpy(), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(v), v_ref.numpy(), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(u), u_ref.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), v_ref.numpy(), atol=1e-4)

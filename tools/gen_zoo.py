@@ -138,15 +138,26 @@ def nnunet_net(ds: dict) -> dict:
     }
 
 
+def swinunetr_net(ds: dict) -> dict:
+    return {
+        "_target_": "SwinUNETR",
+        "img_size": "@roi_size",
+        "in_channels": ds["in_channels"],
+        "out_channels": ds["out_channels"],
+        "feature_size": 24,
+        "window_size": 4,
+    }
+
+
 MODELS = {
     "factorizer": factorizer_net,
     "deconver": deconver_net,
     "segresnet": segresnet_net,
     "nnunet": nnunet_net,
+    "swinunetr": swinunetr_net,
 }
 BUNDLES = [
-    # the reference zoo matrix (model_zoo/): swinunetr_isles22 pending the
-    # SwinUNETR model implementation
+    # the full reference zoo matrix (model_zoo/)
     ("factorizer", "brats23"),
     ("deconver", "brats23"),
     ("nnunet", "brats23"),
@@ -155,6 +166,7 @@ BUNDLES = [
     ("deconver", "isles22"),
     ("nnunet", "isles22"),
     ("segresnet", "isles22"),
+    ("swinunetr", "isles22"),
     ("deconver", "fives"),
     ("nnunet", "fives"),
     ("segresnet", "fives"),
