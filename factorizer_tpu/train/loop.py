@@ -92,7 +92,12 @@ class SegmentationTrainer:
             total_steps=max_epochs * steps_per_epoch,
         )
         self.train_step = make_train_step(model, loss_fn=loss_fn, mesh=mesh)
-        self._eval_fwd = None
+
+        def _apply(variables, windows):
+            out = model.apply(variables, windows)
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        self._predict = jax.jit(_apply)  # compiled once; weights are traced args
 
         self.ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep) if ckpt_dir else None
         self.log_dir = Path(log_dir) if log_dir else None
@@ -142,13 +147,7 @@ class SegmentationTrainer:
     def validate(self) -> dict:
         assert self.state is not None
         variables = self.state.variables()
-        if self._eval_fwd is None:
-
-            def _fwd(windows):
-                out = self.model.apply(variables, windows)
-                return out[0] if isinstance(out, (list, tuple)) else out
-
-            self._eval_fwd = _fwd
+        predictor = lambda windows: self._predict(variables, windows)  # noqa: E731
 
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
@@ -158,7 +157,7 @@ class SegmentationTrainer:
             logits = sliding_window_inference(
                 images,
                 self.roi_size,
-                self._eval_fwd,
+                predictor,
                 sw_batch_size=self.sw_batch_size,
                 overlap=self.overlap,
             )
@@ -182,7 +181,9 @@ class SegmentationTrainer:
         state = self.state
         rng = jax.random.key(self.seed + 1)
 
-        start_epoch = 0
+        # Resume at the epoch implied by the restored optimizer step.
+        steps_per_epoch = max(len(self.train_loader), 1)
+        start_epoch = int(state.step) // steps_per_epoch
         for epoch in range(start_epoch, self.max_epochs):
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
@@ -212,7 +213,6 @@ class SegmentationTrainer:
                 and self.val_interval
                 and (epoch + 1) % self.val_interval == 0
             ):
-                self._eval_fwd = None  # rebind to fresh params
                 val_metrics = self.validate()
                 record.update(val_metrics)
                 if process_is_primary():
@@ -253,15 +253,17 @@ class Evaluator:
         self.compute_hd95 = compute_hd95
         self.postprocess = postprocess
 
-    def predict(self, images) -> jnp.ndarray:
-        def fwd(windows):
-            out = self.model.apply(self.variables, windows)
+        def _apply(variables, windows):
+            out = model.apply(variables, windows)
             return out[0] if isinstance(out, (list, tuple)) else out
 
+        self._predict = jax.jit(_apply)
+
+    def predict(self, images) -> jnp.ndarray:
         return sliding_window_inference(
             jnp.asarray(images),
             self.roi_size,
-            fwd,
+            lambda w: self._predict(self.variables, w),
             sw_batch_size=self.sw_batch_size,
             overlap=self.overlap,
         )

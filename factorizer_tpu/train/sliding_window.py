@@ -74,8 +74,10 @@ def sliding_window_inference(
     Args:
         inputs: ``(B, C, *S)`` channels-first volume batch.
         roi_size: spatial window size fed to the predictor.
-        predictor: jittable ``(n, C, *roi) -> (n, C_out, *roi)``; compiled
-            once (all calls use identical shapes).
+        predictor: ``(n, C, *roi) -> (n, C_out, *roi)``.  All calls use
+            identical shapes, so a caller-jitted predictor compiles once.
+            Close over model weights via a traced argument (e.g.
+            ``lambda w: jitted(variables, w)``), NOT as literals.
         sw_batch_size: number of windows evaluated per predictor call.
         overlap: fractional window overlap.
         mode: ``"gaussian"`` or ``"constant"`` blending.
@@ -100,8 +102,6 @@ def sliding_window_inference(
     n_jobs = len(jobs)
     n_groups = int(math.ceil(n_jobs / sw_batch_size))
 
-    predictor_jit = jax.jit(predictor)
-
     out_sum = None
     weight_sum = jnp.zeros((batch, 1, *pspatial), jnp.float32)
 
@@ -118,7 +118,7 @@ def sliding_window_inference(
                 for b, pos in group_padded
             ]
         )
-        preds = predictor_jit(windows).astype(jnp.float32)
+        preds = predictor(windows).astype(jnp.float32)
 
         if out_sum is None:
             out_sum = jnp.zeros((batch, preds.shape[1], *pspatial), jnp.float32)

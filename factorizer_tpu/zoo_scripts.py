@@ -152,20 +152,24 @@ def ensemble_inference(
     pre += [T.SpatialPadd(["image"], spatial_size=roi_size)]
     preprocessing = T.Compose(pre)
 
-    def predictor_factory(variables):
-        def fwd(windows):
-            out = model.apply(variables, windows)
-            return out[0] if isinstance(out, (list, tuple)) else out
+    def _apply(variables, windows):
+        out = model.apply(variables, windows)
+        return out[0] if isinstance(out, (list, tuple)) else out
 
-        if aot_compile:
-            # AOT-compile for fixed window shapes (the XLA serving analogue of
-            # the reference's TensorRT overlay, inference_trt.yaml:1-5).
-            in_ch = getattr(model, "in_channels")
-            shape = jax.ShapeDtypeStruct((sw_batch_size, in_ch, *roi_size), jnp.float32)
-            return jax.jit(fwd).lower(shape).compile()
-        return fwd
+    applied = jax.jit(_apply)  # one executable shared by all fold checkpoints
+    if aot_compile:
+        # AOT-compile for fixed window shapes (the XLA serving analogue of
+        # the reference's TensorRT overlay, inference_trt.yaml:1-5).
+        in_ch = getattr(model, "in_channels")
+        var_shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables_list[0]
+        )
+        w_shape = jax.ShapeDtypeStruct((sw_batch_size, in_ch, *roi_size), jnp.float32)
+        applied = jax.jit(_apply).lower(var_shapes, w_shape).compile()
 
-    predictors = [predictor_factory(v) for v in variables_list]
+    predictors = [
+        (lambda v: (lambda w: applied(v, w)))(v) for v in variables_list
+    ]
 
     items = load_decathlon_datalist(datalist_path, section=section, base_dir=data_dir)
     if not items:

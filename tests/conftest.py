@@ -19,3 +19,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Single-CPU sandbox: persistent compilation cache makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax-cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,101 @@
+"""Shape/finiteness tests for the baseline model families (zoo parity)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import factorizer_tpu as ftx
+
+
+def _run(model, x, train=False):
+    variables = jax.jit(lambda k, x: model.init(k, x, train=train))(jax.random.key(0), x)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=train))(variables, x)
+    return variables, out
+
+
+class TestSegResNet:
+    def test_3d_forward(self):
+        m = ftx.SegResNet(
+            in_channels=2, out_channels=3, init_filters=8, blocks_down=(1, 2, 2), blocks_up=(1, 1)
+        )
+        x = jax.random.uniform(jax.random.key(1), (2, 2, 16, 16, 16))
+        _, y = _run(m, x)
+        assert y.shape == (2, 3, 16, 16, 16)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_2d_forward(self):
+        m = ftx.SegResNet(
+            in_channels=3, out_channels=1, init_filters=8, blocks_down=(1, 1, 1), blocks_up=(1, 1)
+        )
+        x = jax.random.uniform(jax.random.key(1), (1, 3, 32, 32))
+        _, y = _run(m, x)
+        assert y.shape == (1, 1, 32, 32)
+
+
+class TestDynUNet:
+    def test_forward(self):
+        m = ftx.DynUNet(
+            in_channels=2, out_channels=3, kernel_size=(3, 3, 3), strides=(1, 2, 2),
+            filters=(8, 16, 32),
+        )
+        x = jax.random.uniform(jax.random.key(1), (2, 2, 16, 16, 16))
+        _, y = _run(m, x)
+        assert y.shape == (2, 3, 16, 16, 16)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_deep_supervision_train_mode(self):
+        m = ftx.DynUNet(
+            in_channels=2, out_channels=3, kernel_size=(3, 3, 3), strides=(1, 2, 2),
+            filters=(8, 16, 32), deep_supervision=True, deep_supr_num=1,
+        )
+        x = jnp.zeros((1, 2, 16, 16, 16))
+        _, ys = _run(m, x, train=True)
+        assert isinstance(ys, (list, tuple)) and len(ys) == 2
+        assert ys[0].shape == (1, 3, 16, 16, 16)
+        assert ys[1].shape == (1, 3, 8, 8, 8)
+
+
+class TestSwinUNETR:
+    @pytest.fixture(scope="class")
+    def model_and_out(self):
+        m = ftx.SwinUNETR(
+            in_channels=2, out_channels=3, img_size=(32, 32, 32), feature_size=12,
+            depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2), window_size=4,
+        )
+        x = jax.random.uniform(jax.random.key(1), (1, 2, 32, 32, 32))
+        variables, y = _run(m, x)
+        return m, variables, x, y
+
+    def test_forward_shape(self, model_and_out):
+        _, _, x, y = model_and_out
+        assert y.shape == (1, 3, 32, 32, 32)
+        assert bool(jnp.isfinite(y).all())
+
+    def test_gradients(self, model_and_out):
+        m, variables, x, _ = model_and_out
+        g = jax.jit(
+            jax.grad(lambda p: jnp.mean(m.apply({"params": p}, x) ** 2))
+        )(variables["params"])
+        leaves = jax.tree.leaves(g)
+        assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestWindowAttentionUnits:
+    def test_window_partition_roundtrip(self):
+        from factorizer_tpu.models.swinunetr import _window_partition, _window_reverse
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8, 6))
+        w = (4, 4, 4)
+        wins = _window_partition(x, w)
+        assert wins.shape == (2 * 8, 64, 6)
+        back = _window_reverse(wins, w, (8, 8, 8))
+        assert bool(jnp.array_equal(back, x))
+
+    def test_shift_mask_blocks_cross_boundary(self):
+        from factorizer_tpu.models.swinunetr import _shift_attention_mask
+
+        mask = _shift_attention_mask((8, 8, 8), (4, 4, 4), (2, 2, 2))
+        assert mask.shape == (8, 64, 64)
+        assert (mask <= 0).all()
+        assert (mask < 0).any()  # some pairs are actually masked

@@ -160,3 +160,48 @@ class TestCheckpoint:
         restored = restore_checkpoint(tmp_path / "ckpt", template=tree)
         np.testing.assert_array_equal(restored["params"]["w"], np.arange(6.0).reshape(2, 3))
         assert int(restored["step"]) == 7
+
+
+class TestResume:
+    def test_trainer_resumes_from_checkpoint(self, tmp_path):
+        """Failure recovery: a new trainer picks up where the last one stopped."""
+        import numpy as np
+
+        import factorizer_tpu as ftx
+        from factorizer_tpu.data import DataLoader, Dataset
+        from factorizer_tpu.train.loop import SegmentationTrainer
+
+        rng = np.random.default_rng(0)
+        data = [
+            {
+                "image": rng.random((2, 8, 8, 8), dtype=np.float32),
+                "label": (rng.random((1, 8, 8, 8)) > 0.5).astype(np.float32),
+            }
+            for _ in range(2)
+        ]
+        loader = DataLoader(Dataset(data), batch_size=2, num_workers=0)
+        model = ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=(8, 8, 8),
+            encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+        )
+
+        t1 = SegmentationTrainer(
+            model, loader, max_epochs=2, val_interval=0, ckpt_dir=str(tmp_path / "ck"),
+        )
+        state1 = t1.run()
+        assert int(state1.step) == 2
+        t1.ckpt.close()
+
+        t2 = SegmentationTrainer(
+            model, loader, max_epochs=2, val_interval=0, ckpt_dir=str(tmp_path / "ck"),
+        )
+        state2 = t2.initialize()
+        assert int(state2.step) == 2  # resumed
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(state2.params)[0]),
+            np.asarray(jax.tree.leaves(state1.params)[0]),
+        )
+        t2.ckpt.close()

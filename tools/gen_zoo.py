@@ -576,6 +576,66 @@ if __name__ == "__main__":
 '''
 
 
+def bundle_scripts(dataset: str) -> dict[str, str]:
+    """Per-bundle helper scripts mirroring the reference's scripts/ layout."""
+    ds = DATASETS[dataset]
+    data_py = '''\
+"""Dataset helpers for this bundle (reference: model_zoo/*/scripts/data.py).
+
+The heavy lifting lives in the framework; this module re-exports the pieces
+the configs reference and the label encoding used by this dataset.
+"""
+
+from factorizer_tpu.data import load_decathlon_datalist, partition_datalist  # noqa: F401
+from factorizer_tpu.data.transforms import (  # noqa: F401
+    BraTSOneHotEncoderd,
+    Compose,
+    LoadImaged,
+)
+'''
+    metrics_py = '''\
+"""Metric handlers for this bundle (reference: model_zoo/*/scripts/metrics.py)."""
+
+from factorizer_tpu.train.metrics import (  # noqa: F401
+    MeanDice,
+    MeanHausdorffDistance,
+    dice_metric,
+    hausdorff_distance_95,
+)
+'''
+    utils_py = '''\
+"""Checkpoint + logging utilities (reference: model_zoo/*/scripts/utils.py)."""
+
+from factorizer_tpu.train.checkpoint import (  # noqa: F401
+    load_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from factorizer_tpu.utils.torch_import import import_torch_checkpoint  # noqa: F401
+
+
+def log_model_info(variables) -> str:
+    """Parameter-count banner (the LogModelInfoHandler analogue)."""
+    import jax
+
+    n = sum(a.size for a in jax.tree.leaves(variables.get("params", {})))
+    msg = f"trainable parameters: {n / 1e6:.2f}M"
+    print(msg)
+    return msg
+'''
+    return {"data.py": data_py, "metrics.py": metrics_py, "utils.py": utils_py}
+
+
+DATALIST_PLACEHOLDER = json.dumps(
+    {
+        "_comment": "placeholder - generate with: bash docs/data.sh (scripts/make_datalist.py)",
+        "training": [],
+        "test": [],
+    },
+    indent=2,
+)
+
+
 def docs_shell(model: str, dataset: str) -> dict[str, str]:
     base = f"{model}_{dataset}"
     common = """\
@@ -639,7 +699,10 @@ def main() -> None:
         write(b / "configs" / "inference_aot.yaml", inference_aot_yaml())
         write(b / "configs" / "metadata.json", metadata_json(model, dataset))
         write(b / "configs" / "logging.conf", LOGGING_CONF)
+        write(b / "configs" / "datalist.json", DATALIST_PLACEHOLDER)
         write(b / "scripts" / "make_datalist.py", make_datalist_py(dataset))
+        for name, content in bundle_scripts(dataset).items():
+            write(b / "scripts" / name, content)
         for name, content in docs_shell(model, dataset).items():
             write(b / "docs" / name, content)
         print(f"generated zoo/{model}_{dataset}")

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Model profiling harness -> profiler.json.
+
+The analogue of the reference's offline profiler artifact
+(reference: tests/profiler.py:15-50 + tests/profiler.json): FLOPs /
+bytes-accessed from XLA cost analysis, parameter counts, and wall-clock
+forward latency (chained-scan timing to defeat the axon tunnel's lazy
+execution) for every model family at the reference's profiling input
+(1, 2, 128^3).
+
+Usage:
+    python tools/profile_models.py [--spatial 128] [--models factorizer,...]
+                                   [--dtype bfloat16] [--output profiler.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def build_models(spatial: int, dtype):
+    import factorizer_tpu as ftx
+
+    sp3 = (spatial,) * 3
+    patch = 8 if spatial >= 64 else 4
+    models = {
+        "factorizer": ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=sp3,
+            encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+            strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+            reshape=(ftx.SWMatricize, {"head_dim": 8, "patch_size": patch}),
+            rank=1, num_iters=5, init_method="uniform", solver="hals",
+            mlp_ratio=3, dtype=dtype,
+        ),
+        "deconver": ftx.Deconver(
+            in_channels=2, out_channels=1, spatial_dims=3,
+            encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+            strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+            norm=ftx.InstanceNorm, groups=-1, ratio=1, kernel_size=(3, 3, 3),
+            num_iters=1, mlp_ratio=3,
+        ),
+        "segresnet": ftx.SegResNet(in_channels=2, out_channels=1, init_filters=32),
+        "dynunet": ftx.DynUNet(
+            in_channels=2, out_channels=1, kernel_size=(3,) * 5, strides=(1, 2, 2, 2, 2)
+        ),
+        "swinunetr": ftx.SwinUNETR(
+            in_channels=2, out_channels=1, img_size=sp3, feature_size=24, window_size=4
+        ),
+    }
+    return models
+
+
+def measure(model, x, iters: int) -> dict:
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    n_params = sum(a.size for a in jax.tree.leaves(variables["params"]))
+
+    def fwd(v, x):
+        out = model.apply(v, x)
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    def chain(x, k):
+        def body(c, _):
+            y = fwd(variables, c)
+            return c + 1e-12 * jnp.mean(y).astype(c.dtype), ()
+
+        return jax.jit(lambda x: jnp.sum(jax.lax.scan(body, x, None, length=k)[0]))
+
+    k_lo, k_hi = 1, 1 + iters
+    f_lo, f_hi = chain(x, k_lo), chain(x, k_hi)
+    # cost analysis from the single-forward chain (2 compiles/model total)
+    ca = f_lo.lower(x).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0] if ca else {}
+    float(f_lo(x))
+    float(f_hi(x))
+    t_lo = min(_t(f_lo, x) for _ in range(2))
+    t_hi = min(_t(f_hi, x) for _ in range(2))
+    latency = (t_hi - t_lo) / (k_hi - k_lo)
+
+    return {
+        "flops": float(ca.get("flops", float("nan"))),
+        "bytes_accessed": float(ca.get("bytes accessed", float("nan"))),
+        "params": int(n_params),
+        "latency_s": latency,
+    }
+
+
+def _t(f, x) -> float:
+    t0 = time.perf_counter()
+    float(f(x))
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spatial", type=int, default=128)
+    ap.add_argument("--models", default="factorizer,deconver,segresnet,dynunet,swinunetr")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--output", default="profiler.json")
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    models = build_models(args.spatial, dtype)
+    x = jax.random.uniform(
+        jax.random.key(1), (1, 2, args.spatial, args.spatial, args.spatial), jnp.float32
+    )
+
+    results = {
+        "input_shape": list(x.shape),
+        "backend": jax.default_backend(),
+        "dtype": args.dtype,
+        "models": {},
+    }
+    for name in args.models.split(","):
+        name = name.strip()
+        print(f"profiling {name}...", flush=True)
+        try:
+            results["models"][name] = measure(models[name], x, args.iters)
+            print(f"  {results['models'][name]}", flush=True)
+        except Exception as e:  # keep going; record the failure
+            results["models"][name] = {"error": repr(e)[:200]}
+            print(f"  FAILED: {e!r}", flush=True)
+
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
