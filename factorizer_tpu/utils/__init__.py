@@ -1,1 +1,3 @@
 from .helpers import *
+from . import profiling
+from .torch_import import import_torch_checkpoint, convert_state_dict
