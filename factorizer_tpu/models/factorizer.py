@@ -94,13 +94,75 @@ class FactMixer(nn.Module):
         self.out_proj = Linear(self.out_channels, self.out_channels, bias=True, dtype=self.dtype)
         self.drop = nn.Dropout(rate=self.dropout)
 
+        # Fused-windowed-kernel eligibility: cubic 3-D matricize whose fold/
+        # solve/unfold can run as one Pallas pass (see windowed_nmf_kernel).
+        self._fw = None
+        from ..factorization.nmf import MatrixFactorization as _MF
+        from ..ops.reshape import Matricize as _M, SWMatricize as _SW
+
+        mats = None
+        if isinstance(self.reshape_op, _SW):
+            mats = self.reshape_op.shifted_windows
+        elif isinstance(self.reshape_op, _M):
+            mats = [self.reshape_op]
+        if mats is not None and isinstance(self.factorize_op, _MF) and len(self.spatial_size) == 3:
+            ax = mats[0].axis_sizes
+            d = ax.get("d")
+            ps = [ax.get(f"p{i}") for i in range(3)]
+            if (
+                mats[0].data_format == "channels_last"
+                and d is not None
+                and ps[0] is not None
+                and ps.count(ps[0]) == 3
+            ):
+                self._fw = (mats, d, ps[0])
+
+    def _fused_windowed_call(self, out: Array) -> Array:
+        """roll -> fused fold/solve/unfold kernel -> roll back, per shift."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas.windowed_nmf_kernel import windowed_nmf_reconstruct
+
+        mats, d, p = self._fw
+        fact = self.factorize_op
+        u0, v0 = fact.initializer.tables()
+        eps = fact.eps if fact.eps is not None else 1e-16
+
+        acc = None
+        for m in mats:
+            xs = jnp.roll(out, m.shifts, m.dims) if m.shifts is not None else out
+            ys = windowed_nmf_reconstruct(
+                xs, u0, v0, d, p, fact.solver, fact.num_iters, eps, fact.num_grad_steps
+            )
+            if m.shifts is not None:
+                ys = jnp.roll(ys, m.shifts_inv, m.dims)
+            acc = ys if acc is None else acc + ys
+        return acc / len(mats)
+
+    def _use_fused_windowed(self, out: Array) -> bool:
+        if self._fw is None:
+            return False
+        from ..ops.pallas.windowed_nmf_kernel import supports_windowed
+
+        fact = self.factorize_op
+        mats, d, p = self._fw
+        return fact._fused_eligible() and supports_windowed(
+            out.shape, d, p, fact.solver, fact.rank_
+        )
+
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # x: (B, *S, C)
         out = self.in_proj(x)
-        out = self.reshape_op.forward(out)
-        out = self.act_fn(out)
-        out = self.factorize_op(out)
-        out = self.reshape_op.inverse_forward(out)
+        if self._use_fused_windowed(out):
+            # act commutes with the (permutation) fold, so apply it on the
+            # volume and run the one-pass kernel per shift.
+            out = self.act_fn(out)
+            out = self._fused_windowed_call(out)
+        else:
+            out = self.reshape_op.forward(out)
+            out = self.act_fn(out)
+            out = self.factorize_op(out)
+            out = self.reshape_op.inverse_forward(out)
         out = self.out_proj(out)
         out = self.drop(out, deterministic=deterministic)
         return out

@@ -81,3 +81,58 @@ def test_nonuniform_batch_padding():
     y_k = jax.jit(lambda x: nmf_reconstruct(x, u0, v0, "hals", 2))(x)
     y_x = xla_nmf_reconstruct(x, u0, v0, "hals", 2)
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_x), atol=2e-5)
+
+
+class TestWindowedKernel:
+    """Fused fold->solve->unfold kernel vs the explicit composition."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((2, 16, 16, 16, 8), dtype=np.float32))
+        u0 = jnp.asarray(rng.random((4, 1), dtype=np.float32))
+        v0 = jnp.asarray(rng.random((64, 1), dtype=np.float32))
+        return x, u0, v0
+
+    def test_matches_fold_solve_unfold(self, data):
+        import factorizer_tpu as ftx
+        from factorizer_tpu.ops.pallas.windowed_nmf_kernel import windowed_nmf_reconstruct
+
+        x, u0, v0 = data
+        y_fused = jax.jit(lambda x: windowed_nmf_reconstruct(x, u0, v0, 4, 4, "hals", 3))(x)
+        m = ftx.Matricize((None, 16, 16, 16, 8), head_dim=4, patch_size=4,
+                          data_format="channels_last")
+        y_ref = m.inverse_forward(nmf_reconstruct(m(x), u0, v0, "hals", 3))
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=2e-5)
+
+    def test_gradient_matches(self, data):
+        from factorizer_tpu.ops.pallas.windowed_nmf_kernel import (
+            windowed_nmf_reconstruct,
+            xla_windowed_nmf_reconstruct,
+        )
+
+        x, u0, v0 = data
+        g1 = jax.jit(
+            jax.grad(lambda x: windowed_nmf_reconstruct(x, u0, v0, 4, 4, "hals", 2).sum())
+        )(x)
+        g2 = jax.grad(
+            lambda x: xla_windowed_nmf_reconstruct(x, u0, v0, 4, 4, "hals", 2).sum()
+        )(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+    def test_factmixer_fused_path_equivalence(self, data):
+        """The FactMixer fused-windowed path equals the explicit path."""
+        import factorizer_tpu as ftx
+
+        kw = dict(
+            channels=8, spatial_size=(16, 16, 16),
+            reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+        )
+        blk_fused = ftx.FactorizerBlock(**kw, factorize_options={"use_pallas": True})
+        blk_plain = ftx.FactorizerBlock(**kw, factorize_options={"use_pallas": False})
+        x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 16, 8))
+        variables = jax.jit(blk_fused.init)(jax.random.key(1), x)
+        y_f = jax.jit(blk_fused.apply)(variables, x)
+        y_p = jax.jit(blk_plain.apply)(variables, x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p), atol=1e-4)
