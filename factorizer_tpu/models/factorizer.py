@@ -140,15 +140,17 @@ class FactMixer(nn.Module):
         return acc / len(mats)
 
     def _use_fused_windowed(self, out: Array) -> bool:
-        if self._fw is None:
+        # Opt-in only (factorize_options={"use_windowed": True}): on current
+        # hardware the per-window DMA pattern loses to XLA-transpose + the
+        # flat VMEM-resident NMF kernel (see PERFORMANCE.md), so the default
+        # mixer path stays fold -> flat kernel -> unfold.
+        if self._fw is None or not (self.factorize_options or {}).get("use_windowed"):
             return False
         from ..ops.pallas.windowed_nmf_kernel import supports_windowed
 
         fact = self.factorize_op
         mats, d, p = self._fw
-        return fact._fused_eligible() and supports_windowed(
-            out.shape, d, p, fact.solver, fact.rank_
-        )
+        return supports_windowed(out.shape, d, p, fact.solver, fact.rank_)
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # x: (B, *S, C)

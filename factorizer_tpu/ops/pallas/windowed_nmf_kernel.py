@@ -3,18 +3,27 @@
 The Factorizer mixer's data path is ``matricize (transpose) -> NMF ->
 inverse matricize (transpose)``.  Under XLA each transpose materializes the
 full matricized tensor in HBM, which dominates the mixer's runtime
-(PERFORMANCE.md).  This kernel instead reads the volume in its native
-channels-last layout one window-row at a time, performs the head/window
-reshuffle inside VMEM, runs the iterated rank-1 solver on-chip, and writes
-the reconstruction back — the fold/unfold never touches HBM.
+(PERFORMANCE.md).  This kernel instead streams the volume through VMEM in
+window rows and solves the rank-1 factorization *in the volume's own
+layout* — the matricized tensor never exists.
 
-Covers the flagship configuration: 3-D volumes, uniform cubic patch,
-``head_dim`` channel split, rank-1 HALS/MU with shared random init
-(reference semantics: factorizer.py:34-50 + matrix_factorization.py:514-546).
-Shifted-window copies are handled by the caller with ``jnp.roll`` (elementwise
-activation and roll commute with the fold, so only the volume is ever
-materialized).  Backward is a ``custom_vjp`` that recomputes the
-mathematically identical XLA fold->solve->unfold and differentiates it.
+Key trick (Mosaic supports no lane-splitting reshapes): the per-window
+factor ``u`` lives channel-shaped ``(C,) = (heads*head_dim,)`` and ``v``
+lives patch-shaped ``(p, p, p, C)`` broadcast across the ``head_dim``
+channels of its head.  The only cross-channel coupling — per-head sums for
+the Gram terms — is a multiply by a precomputed block-diagonal head mask
+``M in {0,1}^{C x C}``, i.e. one tiny MXU matmul per update:
+
+    a_u[c]        = sum_ijk x * v                  (elementwise + reduce)
+    b_u[c]        = sum_ijk v * v                  (constant across a head)
+    a_v[ijk, c]   = (x * u) @ M                    (head-sum, broadcast back)
+    b_v[c]        = (u * u) @ M
+
+which reproduces the reference HALS/MU updates exactly
+(matrix_factorization.py:210-247 specialized to rank 1).  Shifted-window
+copies are handled by the caller with ``jnp.roll`` (activation and roll
+commute with the fold).  Backward is a ``custom_vjp`` recomputing the
+mathematically identical XLA fold->solve->unfold.
 """
 
 from __future__ import annotations
@@ -23,11 +32,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .nmf_kernel import _SOLVER_ITERS, _rank1_iter_vpu
+from .nmf_kernel import _SOLVER_ITERS
 
 __all__ = ["windowed_nmf_reconstruct", "xla_windowed_nmf_reconstruct", "supports_windowed"]
 
@@ -38,7 +48,7 @@ def supports_windowed(
     x_shape: tuple[int, ...], head_dim: int, patch: int, solver: str, rank: int
 ) -> bool:
     """Eligibility: 3-D channels-last volume, cubic patches, rank 1, hals/mu."""
-    if len(x_shape) != 5 or rank != 1 or solver not in _SOLVER_ITERS:
+    if len(x_shape) != 5 or rank != 1 or solver not in ("hals", "mu"):
         return False
     _, s1, s2, s3, c = x_shape
     return (
@@ -84,54 +94,77 @@ def xla_windowed_nmf_reconstruct(
     return _unfold(y, x.shape, head_dim, patch).astype(x.dtype)
 
 
-def _kernel(x_ref, u0_ref, v0_ref, y_ref, *, head_dim: int, patch: int,
+def _kernel(x_ref, u0b_ref, v0b_ref, mask_ref, y_ref, *, patch: int,
             solver: str, num_iters: int, eps: float):
-    # Block: (1, patch, patch, S3, C) — one row of windows along the last axis.
-    x = x_ref[0].astype(jnp.float32)  # (p, p, S3, C)
+    # Block: (1, p, p, p, C) — exactly one window; grid covers (B, g1, g2, g3).
     p = patch
-    s3, c = x.shape[2], x.shape[3]
-    g3, h = s3 // p, c // head_dim
+    c = x_ref.shape[4]
+    mask = mask_ref[...].astype(jnp.float32)  # (C, C) block-diagonal head mask
+    u0 = u0b_ref[...].astype(jnp.float32)  # (1, C): u0 tiled over heads
+    v0 = v0b_ref[...].astype(jnp.float32)  # (p, p, p): shared patch factor
+    relu = jax.nn.relu
 
-    # In-VMEM fold: (p, p, g3, p, h, d) -> (g3*h, d, p^3)
-    x6 = x.reshape(p, p, g3, p, h, head_dim)
-    m = jnp.transpose(x6, (2, 4, 5, 0, 1, 3)).reshape(g3 * h, head_dim, p**3)
+    def head_sum(t: Array) -> Array:
+        # (..., C) @ (C, C) mask: per-head sum broadcast back to each channel
+        return jax.lax.dot_general(
+            t, mask, (((t.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    u = jnp.broadcast_to(u0_ref[...][:, 0], (g3 * h, head_dim))
-    v = jnp.broadcast_to(v0_ref[...][:, 0], (g3 * h, p**3))
-    for _ in range(num_iters):  # statically unrolled; everything on-chip
-        u, v = _rank1_iter_vpu(m, u, v, eps, solver)
-    y = u[:, :, None] * v[:, None, :]  # (g3*h, d, p^3)
+    xw = x_ref[0].astype(jnp.float32)  # (p, p, p, C)
+    u = u0[0]  # (C,)
+    v = jnp.broadcast_to(v0[..., None], (p, p, p, c))  # head-broadcast v
 
-    # In-VMEM unfold back to the volume block layout.
-    y6 = y.reshape(g3, h, head_dim, p, p, p)
-    out = jnp.transpose(y6, (3, 4, 0, 5, 1, 2)).reshape(p, p, s3, c)
-    y_ref[0] = out.astype(y_ref.dtype)
+    for _ in range(num_iters):  # statically unrolled, all on-chip
+        a_u = jnp.sum(xw * v, axis=(0, 1, 2))  # (C,)
+        b_u = jnp.sum(v * v, axis=(0, 1, 2))  # (C,) — constant per head
+        if solver == "hals":
+            u = relu((a_u + eps) / (b_u + eps))
+        else:  # mu
+            u = (u * a_u + eps) / (u * b_u + eps)
+        a_v = head_sum(xw * u)  # (p,p,p,C)
+        b_v = head_sum((u * u)[None, :])[0]  # (C,)
+        if solver == "hals":
+            v = relu((a_v + eps) / (b_v + eps))
+        else:
+            v = (v * a_v + eps) / (v * b_v + eps)
+
+    y_ref[0] = (u * v).astype(y_ref.dtype)
 
 
 def _forward_impl(x, u0, v0, head_dim, patch, solver, num_iters, eps):
     B, s1, s2, s3, c = x.shape
-    g1, g2 = s1 // patch, s2 // patch
+    h = c // head_dim
+    g1, g2, g3 = s1 // patch, s2 // patch, s3 // patch
+
+    # Precomputed (trace-time constant) kernel inputs: tiled u0, patch-shaped
+    # v0, and the block-diagonal head mask.
+    u0b = jnp.tile(u0[:, 0].astype(jnp.float32), h)[None]  # (1, C)
+    v0b = v0[:, 0].astype(jnp.float32).reshape(patch, patch, patch)
+    mask = jnp.asarray(np.kron(np.eye(h, dtype=np.float32), np.ones((head_dim, head_dim), np.float32)))
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     return pl.pallas_call(
         functools.partial(
-            _kernel, head_dim=head_dim, patch=patch, solver=solver,
-            num_iters=num_iters, eps=eps,
+            _kernel, patch=patch, solver=solver, num_iters=num_iters, eps=eps
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(B, g1, g2),
+        grid=(B, g1, g2, g3),
         in_specs=[
             pl.BlockSpec(
-                (1, patch, patch, s3, c),
-                lambda b, i, j: (b, i, j, 0, 0),
+                (1, patch, patch, patch, c),
+                lambda b, i, j, k: (b, i, j, k, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((head_dim, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((patch**3, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda b, i, j, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (patch, patch, patch), lambda b, i, j, k: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((c, c), lambda b, i, j, k: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, patch, patch, s3, c),
-            lambda b, i, j: (b, i, j, 0, 0),
+            (1, patch, patch, patch, c),
+            lambda b, i, j, k: (b, i, j, k, 0),
             memory_space=pltpu.VMEM,
         ),
         interpret=not on_tpu,
@@ -141,7 +174,7 @@ def _forward_impl(x, u0, v0, head_dim, patch, solver, num_iters, eps):
             bytes_accessed=2 * 4 * x.size,
             transcendentals=0,
         ),
-    )(x, u0.astype(jnp.float32), v0.astype(jnp.float32))
+    )(x, u0b, v0b, mask)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -178,7 +211,6 @@ def _bwd(head_dim, patch, solver, num_iters, eps, num_grad_steps, res, g):
     k = num_iters - num_grad
 
     def recompute(x_in):
-        x_ng = jax.lax.stop_gradient(x_in)
         it = _SOLVER_ITERS[solver]
         m_full = _fold(x_in, head_dim, patch).astype(jnp.float32)
         m_ng = jax.lax.stop_gradient(m_full)

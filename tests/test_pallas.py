@@ -129,7 +129,9 @@ class TestWindowedKernel:
             reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
             rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
         )
-        blk_fused = ftx.FactorizerBlock(**kw, factorize_options={"use_pallas": True})
+        blk_fused = ftx.FactorizerBlock(
+            **kw, factorize_options={"use_pallas": True, "use_windowed": True}
+        )
         blk_plain = ftx.FactorizerBlock(**kw, factorize_options={"use_pallas": False})
         x = jax.random.uniform(jax.random.key(0), (1, 16, 16, 16, 8))
         variables = jax.jit(blk_fused.init)(jax.random.key(1), x)
