@@ -131,11 +131,13 @@ class LoadImaged(MapTransform):
         ensure_channel_first: bool = True,
         image_only: bool = True,
         dtype=np.float32,
+        channel_dim: Optional[int] = None,
         allow_missing_keys: bool = False,
     ) -> None:
         super().__init__(keys, allow_missing_keys)
         self.ensure_channel_first = ensure_channel_first
         self.dtype = dtype
+        self.channel_dim = channel_dim  # e.g. -1 for RGB (H, W, 3) images
 
     def __call__(self, data: dict) -> dict:
         d = dict(data)
@@ -149,7 +151,9 @@ class LoadImaged(MapTransform):
                 im = load_nifti(paths)
                 arr, affine = np.asarray(im.data), im.affine
                 if self.ensure_channel_first:
-                    if arr.ndim == 4:  # (X, Y, Z, T) -> (T, X, Y, Z)
+                    if self.channel_dim is not None and arr.ndim >= 3:
+                        arr = np.moveaxis(arr, self.channel_dim, 0)
+                    elif arr.ndim == 4:  # (X, Y, Z, T) -> (T, X, Y, Z)
                         arr = np.moveaxis(arr, -1, 0)
                     else:
                         arr = arr[None]

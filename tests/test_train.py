@@ -205,3 +205,32 @@ class TestResume:
             np.asarray(jax.tree.leaves(state1.params)[0]),
         )
         t2.ckpt.close()
+
+
+def test_training_is_deterministic():
+    """Same seeds -> bitwise-identical params after 2 steps (the TPU analogue
+    of the reference's determinism seeding, train.yaml:378)."""
+    import factorizer_tpu as ftx
+    from factorizer_tpu.train import make_adamw
+    from factorizer_tpu.train.trainer import create_train_state, make_train_step
+
+    model = ftx.Factorizer(
+        in_channels=2, out_channels=1, spatial_size=(8, 8, 8),
+        encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2), decoder_depth=(1,),
+        reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+        rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+    )
+    x = jax.random.uniform(jax.random.key(0), (2, 2, 8, 8, 8))
+    y = jnp.zeros((2, 1, 8, 8, 8))
+
+    def run():
+        tx = make_adamw(lr=1e-3)
+        state = create_train_state(model, tx, x, jax.random.key(5), {"train": False})
+        step = make_train_step(model, donate=False)
+        for i in range(2):
+            state, _ = step(state, {"image": x, "label": y}, jax.random.key(100 + i))
+        return state.params
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

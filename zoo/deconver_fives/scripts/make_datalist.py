@@ -13,24 +13,52 @@ import numpy as np
 from factorizer_tpu.data import load_nifti, stratified_kfold
 
 
+def _convert_png(png: Path, out: Path, binarize: bool) -> None:
+    """FIVES ships PNGs; convert to NIfTI once so the pipeline stays uniform."""
+    from PIL import Image
+
+    from factorizer_tpu.data import save_nifti
+
+    arr = np.asarray(Image.open(png))
+    if binarize:
+        arr = (arr > 127).astype(np.uint8)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+    out.parent.mkdir(parents=True, exist_ok=True)
+    save_nifti(out, arr)
+
+
 def crawl(data_dir: Path) -> list[dict]:
-    """FIVES layout: {train,test}/Original + Ground truth (converted to NIfTI)."""
+    """FIVES layout: {train,test}/Original + Ground truth (PNG or NIfTI)."""
     items = []
     for split in ("train", "test"):
         orig = data_dir / split / "Original"
-        gt = data_dir / split / "GroundTruth"
+        gt_dir = next(
+            (data_dir / split / n for n in ("GroundTruth", "Ground truth")
+             if (data_dir / split / n).exists()),
+            data_dir / split / "GroundTruth",
+        )
         if not orig.exists():
             continue
-        for img in sorted(orig.glob("*.nii.gz")):
-            lbl = gt / img.name
-            if lbl.exists():
-                items.append(
-                    {
-                        "id": f"{split}_{img.stem}",
-                        "image": str(img.relative_to(data_dir)),
-                        "label": str(lbl.relative_to(data_dir)),
-                    }
-                )
+        for img in sorted(list(orig.glob("*.nii.gz")) + list(orig.glob("*.png"))):
+            lbl = gt_dir / img.name
+            if not lbl.exists():
+                continue
+            if img.suffix == ".png":
+                nii_img = data_dir / split / "Original_nii" / (img.stem + ".nii.gz")
+                nii_lbl = data_dir / split / "GroundTruth_nii" / (img.stem + ".nii.gz")
+                if not nii_img.exists():
+                    _convert_png(img, nii_img, binarize=False)
+                if not nii_lbl.exists():
+                    _convert_png(lbl, nii_lbl, binarize=True)
+                img, lbl = nii_img, nii_lbl
+            items.append(
+                {
+                    "id": f"{split}_{img.name.split('.')[0]}",
+                    "image": str(img.relative_to(data_dir)),
+                    "label": str(lbl.relative_to(data_dir)),
+                }
+            )
     return items
 
 
