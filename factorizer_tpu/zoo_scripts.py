@@ -31,12 +31,8 @@ __all__ = ["evaluate_bundle", "ensemble_inference", "fuse_brats_labels", "load_m
 
 
 def load_model_checkpoint(model, ckpt_path, roi_size: Sequence[int]):
-    """Restore a checkpoint into the model's variable structure."""
-    in_ch = getattr(model, "in_channels")
-    x = jnp.zeros((1, in_ch, *roi_size), jnp.float32)
-    template = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
-    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
-    restored = restore_checkpoint(ckpt_path, template={"params": template["params"], "buffers": template.get("buffers", {}), "step": jnp.zeros((), jnp.int32), "opt_state": None})
+    """Restore a checkpoint's model variables (optimizer state is ignored)."""
+    restored = restore_checkpoint(ckpt_path)  # raw pytree, no template needed
     variables = {"params": restored["params"]}
     if restored.get("buffers"):
         variables["buffers"] = restored["buffers"]
@@ -105,7 +101,9 @@ def evaluate_bundle(
             sample = _uncollate(batch, 0)
             sample["pred"] = preds[0]
             inverted = T.Invertd(["pred"], orig_keys="image")(sample)
-            T.SaveImaged(["pred"], output_dir=output_dir)(inverted)
+            if ids:  # name outputs by case id (filename bases may collide)
+                inverted.setdefault("pred_meta", {})["filename"] = f"{ids[0]}.nii.gz"
+            inverted = T.SaveImaged(["pred"], output_dir=output_dir)(inverted)
 
     metrics = {
         "mean_dice": float(np.nanmean(np.concatenate(dices, axis=0))) if dices else float("nan"),
@@ -190,7 +188,9 @@ def ensemble_inference(
         d = T.Invertd(["pred"], orig_keys="image")(d)
         if dataset == "brats23":
             d["pred"] = fuse_brats_labels(d["pred"])[None]
-        T.SaveImaged(["pred"], output_dir=output_dir)(d)
+        if "id" in item:  # name outputs by case id (filename bases may collide)
+            d.setdefault("pred_meta", {})["filename"] = f"{item['id']}.nii.gz"
+        d = T.SaveImaged(["pred"], output_dir=output_dir)(d)
         saved.append(d.get("pred_saved_path"))
         logger.info("saved %s", saved[-1])
     return saved

@@ -1,0 +1,135 @@
+"""End-to-end tests for the bundle programs: evaluate + ensemble inference."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+import factorizer_tpu as ftx
+from factorizer_tpu.data import DataLoader, Dataset
+from factorizer_tpu.data import transforms as T
+from factorizer_tpu.data.nifti import load_nifti, save_nifti
+from factorizer_tpu.train.checkpoint import save_checkpoint
+from factorizer_tpu.train.trainer import create_train_state
+from factorizer_tpu.zoo_scripts import (
+    ensemble_inference,
+    evaluate_bundle,
+    fuse_brats_labels,
+)
+
+SP = (16, 16, 16)
+
+
+def _tiny_model():
+    return ftx.Factorizer(
+        in_channels=1,
+        out_channels=1,
+        spatial_size=SP,
+        encoder_depth=(1, 1),
+        encoder_width=(4, 8),
+        strides=(1, 2),
+        decoder_depth=(1,),
+        reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4, "shifts": [None, 2]}),
+        rank=1,
+        num_iters=2,
+        init_method="uniform",
+        solver="hals",
+        mlp_ratio=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def ckpt_and_data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("zoo_scripts")
+    rng = np.random.default_rng(0)
+
+    # synthetic dataset on disk
+    data_dir = tmp / "data"
+    items = []
+    for i in range(2):
+        case = data_dir / f"c{i}"
+        case.mkdir(parents=True)
+        save_nifti(case / "img.nii.gz", rng.random(SP).astype(np.float32))
+        lbl = np.zeros(SP, np.uint8)
+        lbl[4:12, 4:12, 4:12] = 1
+        save_nifti(case / "seg.nii.gz", lbl)
+        items.append(
+            {"id": f"c{i}", "image": f"c{i}/img.nii.gz", "label": f"c{i}/seg.nii.gz", "fold": 0}
+        )
+    datalist = tmp / "datalist.json"
+    datalist.write_text(json.dumps({"training": items, "test": items}))
+
+    # a checkpoint in the layout the bundles expect
+    model = _tiny_model()
+    import optax
+
+    state = create_train_state(
+        model, optax.adamw(1e-3), np.zeros((1, 1, *SP), np.float32),
+        jax.random.key(0), {"train": False},
+    )
+    ckpt_path = tmp / "models" / "fold0"
+    save_checkpoint(ckpt_path, state)
+    return model, tmp, data_dir, datalist, ckpt_path
+
+
+def test_evaluate_bundle(ckpt_and_data):
+    model, tmp, data_dir, datalist, ckpt_path = ckpt_and_data
+    pre = T.Compose(
+        [
+            T.LoadImaged(["image"]),
+            T.LoadImaged(["label"], dtype=np.uint8),
+            T.SpatialPadd(["image", "label"], spatial_size=SP),
+        ]
+    )
+    items = json.loads(datalist.read_text())["training"]
+    items = [
+        {**it, "image": str(data_dir / it["image"]), "label": str(data_dir / it["label"])}
+        for it in items
+    ]
+    loader = DataLoader(Dataset(items, pre), batch_size=1, num_workers=0)
+
+    metrics = evaluate_bundle(
+        model,
+        ckpt_path,
+        loader,
+        roi_size=SP,
+        output_dir=str(tmp / "preds"),
+        case_metrics_path=str(tmp / "case_metrics.json"),
+        compute_hd95=True,
+    )
+    assert "mean_dice" in metrics
+    saved = json.loads((tmp / "case_metrics.json").read_text())
+    assert len(saved["cases"]) == 2
+    # predictions were inverted + written as NIfTI
+    preds = list((tmp / "preds").glob("*.nii.gz"))
+    assert len(preds) == 2
+    assert load_nifti(preds[0]).data.shape == SP
+
+
+def test_ensemble_inference(ckpt_and_data):
+    model, tmp, data_dir, datalist, ckpt_path = ckpt_and_data
+    saved = ensemble_inference(
+        model,
+        ckpt_paths=[str(ckpt_path), str(ckpt_path)],  # 2-member "ensemble"
+        datalist_path=str(datalist),
+        data_dir=str(data_dir),
+        roi_size=SP,
+        pix_size=(1.0, 1.0, 1.0),
+        output_dir=str(tmp / "ens_preds"),
+        section="test",
+    )
+    assert len(saved) == 2
+    assert all(p is not None for p in saved)
+
+
+def test_fuse_brats_labels():
+    pred = np.zeros((3, 4, 4, 4), np.uint8)
+    pred[2, :2] = 1  # WT
+    pred[1, :1] = 1  # TC nested
+    pred[0, 0, 0, 0] = 1  # ET nested
+    fused = fuse_brats_labels(pred)
+    assert fused[0, 0, 0] == 3  # ET wins
+    assert fused[0, 1, 0] == 1  # TC
+    assert fused[1, 0, 0] == 2  # WT only
+    assert fused[3, 0, 0] == 0

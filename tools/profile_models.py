@@ -124,6 +124,14 @@ def main() -> None:
         "dtype": args.dtype,
         "models": {},
     }
+    out_path = Path(args.output)
+    if out_path.exists():  # merge into an existing artifact
+        try:
+            prev = json.loads(out_path.read_text())
+            if prev.get("input_shape") == results["input_shape"]:
+                results["models"].update(prev.get("models", {}))
+        except (json.JSONDecodeError, OSError):
+            pass
     for name in args.models.split(","):
         name = name.strip()
         print(f"profiling {name}...", flush=True)
