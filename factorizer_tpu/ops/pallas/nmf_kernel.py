@@ -246,7 +246,8 @@ def _bwd(solver, num_iters, eps, num_grad_steps, residuals, g):
         v = jnp.broadcast_to(v0, (*batch, *v0.shape)).astype(x_in.dtype)
         for i in range(1, num_iters + 1):
             u, v = it(x_ng if i <= k else x_in, u, v, eps)
-        return u @ jnp.swapaxes(v, -1, -2)
+        # match the kernel's output dtype (solver matmuls accumulate f32)
+        return (u @ jnp.swapaxes(v, -1, -2)).astype(x_in.dtype)
 
     _, vjp = jax.vjp(recompute, x)
     (dx,) = vjp(g)

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark for the flagship Factorizer.
+
+Measures one full train step (forward + DiceCE + backward + AdamW) at the
+BraTS23 bundle's operating point, with the chained-step timing methodology
+from bench.py (data dependency between steps, host-fetch forcing, slope
+between two chain lengths to cancel tunnel overhead).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spatial", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--k", type=int, default=3)
+    args = ap.parse_args()
+
+    import optax
+
+    import factorizer_tpu as ftx
+    from factorizer_tpu.train.losses import dice_ce_loss
+    from factorizer_tpu.train.trainer import TrainState
+
+    sp = (args.spatial,) * 3
+    model = ftx.Factorizer(
+        in_channels=4,
+        out_channels=3,
+        spatial_size=sp,
+        encoder_depth=(1,) * 5,
+        encoder_width=(32, 64, 128, 256, 512),
+        strides=(1, 2, 2, 2, 2),
+        decoder_depth=(1,) * 4,
+        reshape=(ftx.SWMatricize, {"head_dim": 8, "patch_size": 8}),
+        rank=1,
+        num_iters=5,
+        init_method="uniform",
+        solver="hals",
+        mlp_ratio=4,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+    )
+    x = jax.random.uniform(jax.random.key(0), (args.batch, 4, *sp), jnp.float32)
+    y = (jax.random.uniform(jax.random.key(1), (args.batch, 3, *sp)) > 0.5).astype(jnp.float32)
+
+    variables = jax.jit(model.init)(jax.random.key(2), x)
+    tx = optax.adamw(1e-4)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+    def one_step(state, rng):
+        def loss_fn(params):
+            v = {"params": params}
+            if state.buffers:
+                v["buffers"] = state.buffers
+            logits = model.apply(v, x, train=True, rngs={"dropout": rng})
+            return dice_ce_loss(logits, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def chain(k):
+        def run(state):
+            def body(carry, i):
+                s, _ = carry
+                s, loss = one_step(s, jax.random.fold_in(jax.random.key(3), i))
+                return (s, loss), ()
+
+            (s, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(k))
+            return loss
+
+        return jax.jit(run, donate_argnums=())
+
+    k_lo, k_hi = 1, 1 + args.k
+    f_lo, f_hi = chain(k_lo), chain(k_hi)
+    print("compiling...", flush=True)
+    float(f_lo(state))
+    float(f_hi(state))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(f(state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (t(f_hi) - t(f_lo)) / (k_hi - k_lo)
+    print(
+        json.dumps(
+            {
+                "metric": "factorizer_train_step",
+                "spatial": args.spatial,
+                "batch": args.batch,
+                "dtype": args.dtype,
+                "value": round(per_step, 4),
+                "unit": "sec/step",
+                "steps_per_sec": round(1.0 / per_step, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
