@@ -14,7 +14,7 @@ worker threads while the TPU trains (the DataLoader-workers analogue).
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Mapping, Optional, Sequence
+from typing import Callable, Mapping, Optional, Sequence
 
 import numpy as np
 

@@ -13,7 +13,7 @@ transposed to ``(*k, in, out)`` at use (a trace-time constant transpose).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,6 @@ reshape + Dense.
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn

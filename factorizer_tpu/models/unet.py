@@ -22,7 +22,7 @@ from jax import Array
 
 from ..layers.basic import Conv, ConvTranspose, Identity
 from ..layers.conv_blocks import DoubleConv
-from ..utils.helpers import Universaltuple, partialize
+from ..utils.helpers import partialize
 
 __all__ = ["UNet", "Same", "spec_accepts", "build_block"]
 

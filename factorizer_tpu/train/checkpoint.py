@@ -13,9 +13,6 @@ import os
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
-import numpy as np
-
 try:
     import orbax.checkpoint as ocp
 except ImportError:  # pragma: no cover

@@ -9,7 +9,6 @@ XLA over ICI.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax

@@ -13,7 +13,7 @@ import contextlib
 import json
 import time
 from pathlib import Path
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 
