@@ -133,3 +133,20 @@ def test_fuse_brats_labels():
     assert fused[0, 1, 0] == 1  # TC
     assert fused[1, 0, 0] == 2  # WT only
     assert fused[3, 0, 0] == 0
+
+
+def test_ensemble_inference_aot(ckpt_and_data):
+    """AOT-compiled serving path (the TensorRT-overlay analogue)."""
+    model, tmp, data_dir, datalist, ckpt_path = ckpt_and_data
+    saved = ensemble_inference(
+        model,
+        ckpt_paths=[str(ckpt_path)],
+        datalist_path=str(datalist),
+        data_dir=str(data_dir),
+        roi_size=SP,
+        pix_size=(1.0, 1.0, 1.0),
+        output_dir=str(tmp / "aot_preds"),
+        section="test",
+        aot_compile=True,
+    )
+    assert len(saved) == 2 and all(p is not None for p in saved)
