@@ -149,7 +149,9 @@ def _kernel(x_ref, u0_ref, v0_ref, y_ref, *, solver: str, num_iters: int, eps: f
     y_ref[...] = (u @ jnp.swapaxes(v, -1, -2)).astype(y_ref.dtype)
 
 
-def _pick_tile(n_mats: int, m: int, n: int, rank: int, vmem_budget: int = 2 * 2**20) -> int:
+def _pick_tile(n_mats: int, m: int, n: int, rank: int, vmem_budget: int = 6 * 2**20) -> int:
+    # 6 MB measured fastest on v5e (sweep in PERFORMANCE.md); with double
+    # buffering the in+out tiles stay inside the 14 MB scoped-vmem limit.
     """Largest power-of-two batch tile whose x + y tiles fit the VMEM budget."""
     bytes_per_mat = 4 * (2 * m * n + 2 * (m + n) * rank)
     tile = max(vmem_budget // max(bytes_per_mat, 1), 1)
