@@ -152,6 +152,20 @@ class FactMixer(nn.Module):
         mats, d, p = self._fw
         return supports_windowed(out.shape, d, p, fact.solver, fact.rank_)
 
+    def _split_shift_eligible(self) -> bool:
+        """Per-shift processing is exact whenever the factorization treats
+        matrices independently (any MatrixFactorization) and the activation
+        is elementwise — it skips SWMatricize's batch concat/split, which
+        otherwise materializes all shifted folds at once in HBM."""
+        from ..factorization.nmf import MatrixFactorization as _MF
+        from ..ops.reshape import SWMatricize as _SW
+
+        return (
+            isinstance(self.reshape_op, _SW)
+            and len(self.reshape_op.shifted_windows) > 1
+            and isinstance(self.factorize_op, _MF)
+        )
+
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # x: (B, *S, C)
         out = self.in_proj(x)
@@ -160,6 +174,13 @@ class FactMixer(nn.Module):
             # volume and run the one-pass kernel per shift.
             out = self.act_fn(out)
             out = self._fused_windowed_call(out)
+        elif self._split_shift_eligible():
+            out = self.act_fn(out)  # elementwise: commutes with the fold
+            acc = None
+            for m in self.reshape_op.shifted_windows:
+                z = m.inverse_forward(self.factorize_op(m.forward(out)))
+                acc = z if acc is None else acc + z
+            out = acc / len(self.reshape_op.shifted_windows)
         else:
             out = self.reshape_op.forward(out)
             out = self.act_fn(out)
