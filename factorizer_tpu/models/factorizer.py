@@ -155,13 +155,17 @@ class FactMixer(nn.Module):
     def _split_shift_eligible(self) -> bool:
         """Per-shift processing is exact whenever the factorization treats
         matrices independently (any MatrixFactorization) and the activation
-        is elementwise — it skips SWMatricize's batch concat/split, which
-        otherwise materializes all shifted folds at once in HBM."""
+        is elementwise — it skips SWMatricize's batch concat/split and its
+        peak-memory cost.  Opt-in (factorize_options={"split_shifts": True}):
+        measured ~3% slower end-to-end on v5e (XLA fuses the concat well and
+        per-shift kernel launches add overhead), but it halves the mixer's
+        peak activation footprint, which matters for large-batch training."""
         from ..factorization.nmf import MatrixFactorization as _MF
         from ..ops.reshape import SWMatricize as _SW
 
         return (
-            isinstance(self.reshape_op, _SW)
+            bool((self.factorize_options or {}).get("split_shifts"))
+            and isinstance(self.reshape_op, _SW)
             and len(self.reshape_op.shifted_windows) > 1
             and isinstance(self.factorize_op, _MF)
         )

@@ -138,3 +138,21 @@ class TestWindowedKernel:
         y_f = jax.jit(blk_fused.apply)(variables, x)
         y_p = jax.jit(blk_plain.apply)(variables, x)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p), atol=1e-4)
+
+
+def test_split_shifts_option_equivalence():
+    """The opt-in per-shift mixer path is bitwise equal to the concat path."""
+    import factorizer_tpu as ftx
+
+    kw = dict(
+        channels=8, spatial_size=(16, 16, 16),
+        reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+        rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+    )
+    blk_split = ftx.FactorizerBlock(**kw, factorize_options={"split_shifts": True})
+    blk_plain = ftx.FactorizerBlock(**kw)
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 16, 8))
+    variables = jax.jit(blk_split.init)(jax.random.key(1), x)
+    y_s = jax.jit(blk_split.apply)(variables, x)
+    y_p = jax.jit(blk_plain.apply)(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_p))
