@@ -175,9 +175,10 @@ int ftx_nifti_load(const char* path, float** data, int64_t* shape, double* affin
     count *= h.dim[1 + i];
   }
   size_t offset = (size_t)h.vox_offset;
+  // NIfTI convention (matches nibabel): scl_slope == 0 disables scaling
+  // entirely — the intercept must NOT be applied on its own.
   float slope = (h.scl_slope == 0.f || h.scl_slope == 1.f) ? 1.f : h.scl_slope;
   float inter = (h.scl_slope == 0.f) ? 0.f : h.scl_inter;
-  if (h.scl_inter != 0.f) inter = h.scl_inter;
 
   *data = static_cast<float*>(std::malloc(sizeof(float) * count));
   if (!*data) {

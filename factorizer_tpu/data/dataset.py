@@ -153,10 +153,18 @@ class CacheDataset(Dataset):
 
 
 def _default_collate(items: list[dict]) -> dict:
-    """Stack array-valued keys into batches; pass lists through otherwise."""
+    """Stack array-valued keys into batches; pass lists through otherwise.
+
+    List-valued items (a transform emitting multiple samples per case, e.g.
+    ``RandCropByPosNegLabeld(num_samples>1)``) are flattened into the batch,
+    matching MONAI's ``list_data_collate``.
+    """
+    flat: list[dict] = []
+    for it in items:
+        flat.extend(it) if isinstance(it, list) else flat.append(it)
     out: dict = {}
-    for k in items[0]:
-        vals = [it[k] for it in items]
+    for k in flat[0]:
+        vals = [it[k] for it in flat]
         if isinstance(vals[0], np.ndarray):
             out[k] = np.stack(vals, axis=0)
         else:

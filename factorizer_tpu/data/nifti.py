@@ -156,8 +156,10 @@ def load_nifti(path: str | Path, dtype: Optional[np.dtype] = None) -> NiftiImage
     data = data.reshape(shape, order="F")  # NIfTI voxel data is Fortran-ordered
 
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        data = data.astype(np.float32) * (slope if slope != 0 else 1.0) + inter
+    # NIfTI convention (and nibabel): scl_slope == 0 means "no scaling at all"
+    # — the intercept is ignored too, not applied on its own.
+    if slope != 0.0 and (slope != 1.0 or inter != 0.0):
+        data = data.astype(np.float32) * slope + inter
     if dtype is not None:
         data = data.astype(dtype)
     else:

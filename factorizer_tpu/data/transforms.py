@@ -14,6 +14,7 @@ worker threads while the TPU trains (the DataLoader-workers analogue).
 from __future__ import annotations
 
 import math
+import threading
 from typing import Callable, Mapping, Optional, Sequence
 
 import numpy as np
@@ -73,9 +74,19 @@ class Compose(Transform):
     def __init__(self, transforms: Sequence[Callable]) -> None:
         self.transforms = list(transforms)
 
-    def __call__(self, data: dict) -> dict:
+    def __call__(self, data: dict) -> dict | list[dict]:
+        # A transform may emit a list of samples (e.g. RandCropByPosNegLabeld
+        # with num_samples > 1); subsequent transforms map over each sample,
+        # mirroring MONAI's apply_transform semantics.
         for t in self.transforms:
-            data = t(data)
+            if isinstance(data, list):
+                out: list[dict] = []
+                for item in data:
+                    res = t(item)
+                    out.extend(res) if isinstance(res, list) else out.append(res)
+                data = out
+            else:
+                data = t(data)
         return data
 
     def set_random_state(self, seed: int) -> "Compose":
@@ -99,13 +110,35 @@ class MapTransform(Transform):
 
 
 class RandomizableTransform(MapTransform):
+    """Random transform with thread-safe RNG.
+
+    numpy ``Generator`` objects are not thread-safe, and the DataLoader maps
+    ``Dataset.__getitem__`` over a thread pool — so each worker thread draws
+    from its own child stream spawned from a shared ``SeedSequence``.
+    """
+
     def __init__(self, keys, prob: float = 1.0, allow_missing_keys: bool = False) -> None:
         super().__init__(keys, allow_missing_keys)
         self.prob = prob
-        self.rng = np.random.default_rng()
+        self._rng_epoch = 0
+        self._spawn_lock = threading.Lock()
+        self._local = threading.local()
+        self._seed_seq = np.random.SeedSequence()
 
     def set_random_state(self, seed: int) -> None:
-        self.rng = np.random.default_rng(seed)
+        with self._spawn_lock:
+            self._seed_seq = np.random.SeedSequence(seed)
+            self._rng_epoch += 1  # invalidate every thread's cached generator
+
+    @property
+    def rng(self) -> np.random.Generator:
+        local = self._local
+        if getattr(local, "epoch", None) != self._rng_epoch:
+            with self._spawn_lock:
+                child = self._seed_seq.spawn(1)[0]
+                local.epoch = self._rng_epoch
+            local.rng = np.random.Generator(np.random.PCG64(child))
+        return local.rng
 
     def _do(self) -> bool:
         return bool(self.rng.random() < self.prob)

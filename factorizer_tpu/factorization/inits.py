@@ -54,9 +54,14 @@ class RandomInit(nn.Module):
         else:
             raise ValueError("`method` not valid.")
 
+        # Deterministic per-buffer stream ids: Python's str hash is salted per
+        # process, which would make u0/v0 irreproducible across runs and
+        # silently divergent across hosts in multi-host training.
+        stream_ids = {"u0": 0, "v0": 1}
+
         def make(method: str, n: int, name: str):
             def init_fn() -> Array:
-                key = jax.random.fold_in(self.make_rng("params"), hash(name) % (2**31))
+                key = jax.random.fold_in(self.make_rng("params"), stream_ids[name])
                 return _SAMPLERS[method](key, (n, self.rank))
 
             return init_fn

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..parallel.mesh import process_is_primary
 from .checkpoint import CheckpointManager
-from .metrics import MeanDice, MeanHausdorffDistance
+from .metrics import MeanDice, MeanHausdorffDistance, dice_metric
 from .schedules import make_adamw
 from .sliding_window import sliding_window_inference
 from .trainer import TrainState, create_train_state, make_train_step
@@ -280,11 +280,7 @@ class Evaluator:
             if hd is not None:
                 hd.update(preds, labels)
             case_dice = np.nanmean(
-                np.asarray(
-                    __import__("factorizer_tpu.train.metrics", fromlist=["dice_metric"]).dice_metric(
-                        jnp.asarray(preds), jnp.asarray(labels)
-                    )
-                )
+                np.asarray(dice_metric(jnp.asarray(preds), jnp.asarray(labels)))
             )
             cases.append({"id": batch.get("id", [None])[0], "dice": float(case_dice)})
         out = {"mean_dice": dice.compute()}

@@ -27,17 +27,21 @@ def dice_metric(
     pred: Array,
     target: Array,
     include_background: bool = True,
-    nan_for_empty: bool = True,
+    ignore_empty: bool = False,
     channel_axis: int = 1,
 ) -> Array:
     """Per-sample, per-channel hard Dice on binarized masks.
 
     Args:
         pred/target: ``(B, C, *S)`` binary masks.
+        ignore_empty: MONAI ``DiceMetric`` semantics.  ``True``: NaN where the
+            ground truth is empty (excluded from the mean downstream).
+            ``False`` (the reference bundles' setting,
+            e.g. train.yaml ``ignore_empty: false``): an empty ground-truth
+            channel scores 1.0 if the prediction is also empty, else 0.0.
 
     Returns:
-        ``(B, C)`` Dice scores; NaN where both masks are empty (MONAI
-        convention with ``get_not_nans``-style filtering downstream).
+        ``(B, C)`` Dice scores.
     """
     if not include_background:
         pred = jnp.take(pred, jnp.arange(1, pred.shape[channel_axis]), axis=channel_axis)
@@ -45,25 +49,40 @@ def dice_metric(
 
     axes = tuple(range(2, pred.ndim))
     intersection = jnp.sum(pred * target, axis=axes)
-    denom = jnp.sum(pred, axis=axes) + jnp.sum(target, axis=axes)
+    pred_o = jnp.sum(pred, axis=axes)
+    target_o = jnp.sum(target, axis=axes)
+    denom = pred_o + target_o
     dice = (2.0 * intersection) / jnp.maximum(denom, 1e-12)
-    if nan_for_empty:
-        dice = jnp.where(denom > 0, dice, jnp.nan)
+    if ignore_empty:
+        dice = jnp.where(target_o > 0, dice, jnp.nan)
+    else:
+        empty_gt_score = jnp.where(pred_o > 0, 0.0, 1.0)
+        dice = jnp.where(target_o > 0, dice, empty_gt_score)
     return dice
 
 
 class MeanDice:
-    """Accumulating mean-Dice (NaN-aware), ignite-handler analogue."""
+    """Accumulating mean-Dice (NaN-aware), ignite-handler analogue.
 
-    def __init__(self, include_background: bool = True) -> None:
+    Defaults to ``ignore_empty=False`` to match the bundle metric config
+    (MONAI DiceMetric scores both-empty channels as 1.0).
+    """
+
+    def __init__(self, include_background: bool = True, ignore_empty: bool = False) -> None:
         self.include_background = include_background
+        self.ignore_empty = ignore_empty
         self.reset()
 
     def reset(self) -> None:
         self._scores: list[np.ndarray] = []
 
     def update(self, pred: Array, target: Array) -> None:
-        d = dice_metric(pred, target, include_background=self.include_background)
+        d = dice_metric(
+            pred,
+            target,
+            include_background=self.include_background,
+            ignore_empty=self.ignore_empty,
+        )
         self._scores.append(np.asarray(d))
 
     def compute(self) -> float:
@@ -139,4 +158,7 @@ class MeanHausdorffDistance:
     def compute(self) -> float:
         if not self._scores:
             return float("nan")
-        return float(np.nanmean(self._scores))
+        arr = np.asarray(self._scores, dtype=np.float64)
+        if not np.isfinite(arr).any():  # all masks empty: HD undefined
+            return float("nan")
+        return float(np.nanmean(arr))

@@ -109,7 +109,12 @@ def evaluate_bundle(
         "mean_dice": float(np.nanmean(np.concatenate(dices, axis=0))) if dices else float("nan"),
     }
     if hds:
-        metrics["hd95"] = float(np.nanmean(np.asarray(hds)))
+        hd_arr = np.asarray(hds, dtype=np.float64)
+        # Guard the all-NaN case (every mask empty): nanmean of an empty slice
+        # emits a RuntimeWarning and the metric is genuinely undefined.
+        metrics["hd95"] = (
+            float(np.nanmean(hd_arr)) if np.isfinite(hd_arr).any() else float("nan")
+        )
     if case_metrics_path:
         Path(case_metrics_path).parent.mkdir(parents=True, exist_ok=True)
         Path(case_metrics_path).write_text(json.dumps({"cases": cases, **metrics}, indent=2))

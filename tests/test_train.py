@@ -44,9 +44,14 @@ class TestMetrics:
         pred = jnp.zeros((1, 2, 8, 8)).at[:, :, :4].set(1)
         assert np.allclose(np.asarray(dice_metric(pred, pred)), 1.0)
 
-    def test_dice_metric_nan_for_empty(self):
+    def test_dice_metric_empty_semantics(self):
+        # MONAI ignore_empty=False (the bundle setting): both-empty -> 1.0,
+        # pred-nonempty-on-empty-GT -> 0.0; ignore_empty=True -> NaN.
         z = jnp.zeros((1, 1, 8, 8))
-        assert np.isnan(np.asarray(dice_metric(z, z))).all()
+        p = z.at[:, :, :2].set(1)
+        assert np.allclose(np.asarray(dice_metric(z, z)), 1.0)
+        assert np.allclose(np.asarray(dice_metric(p, z)), 0.0)
+        assert np.isnan(np.asarray(dice_metric(z, z, ignore_empty=True))).all()
 
     def test_mean_dice_accumulator(self):
         md = MeanDice()
