@@ -118,38 +118,53 @@ class FactMixer(nn.Module):
                 self._fw = (mats, d, ps[0])
 
     def _fused_windowed_call(self, out: Array) -> Array:
-        """roll -> fused fold/solve/unfold kernel -> roll back, per shift."""
-        import jax.numpy as jnp
+        """One fused fold/solve/unfold pass per shift; rolls never materialize.
 
-        from ..ops.pallas.windowed_nmf_kernel import windowed_nmf_reconstruct
+        Shifts are served from a single wrap-padded copy of the volume via
+        element-offset block reads (see windowed_nmf_kernel.py).
+        """
+        from ..ops.pallas.windowed_nmf_kernel import windowed_nmf_multi
 
         mats, d, p = self._fw
         fact = self.factorize_op
         u0, v0 = fact.initializer.tables()
         eps = fact.eps if fact.eps is not None else 1e-16
-
-        acc = None
-        for m in mats:
-            xs = jnp.roll(out, m.shifts, m.dims) if m.shifts is not None else out
-            ys = windowed_nmf_reconstruct(
-                xs, u0, v0, d, p, fact.solver, fact.num_iters, eps, fact.num_grad_steps
-            )
-            if m.shifts is not None:
-                ys = jnp.roll(ys, m.shifts_inv, m.dims)
-            acc = ys if acc is None else acc + ys
-        return acc / len(mats)
+        shifts = tuple(m.shifts for m in mats)
+        return windowed_nmf_multi(
+            out, u0, v0, d, p, shifts, fact.solver, fact.num_iters, eps,
+            fact.num_grad_steps,
+        )
 
     def _use_fused_windowed(self, out: Array) -> bool:
-        # Opt-in only (factorize_options={"use_windowed": True}): on current
-        # hardware the per-window DMA pattern loses to XLA-transpose + the
-        # flat VMEM-resident NMF kernel (see PERFORMANCE.md), so the default
-        # mixer path stays fold -> flat kernel -> unfold.
-        if self._fw is None or not (self.factorize_options or {}).get("use_windowed"):
+        # Default ON where eligible: the v2 row-blocked kernel beats the
+        # fold -> flat kernel -> unfold path ~2-3x at every stage scale on
+        # v5e (PERFORMANCE.md).  Opt out with
+        # ``factorize_options={"use_windowed": False}``.  Multi-device meshes
+        # go through the sharded wrapper in ``parallel/kernel_sharding.py``
+        # (GSPMD cannot partition a bare custom call).
+        opts = self.factorize_options or {}
+        if self._fw is None or opts.get("use_windowed") is False:
             return False
+        if opts.get("use_pallas") is False:
+            return False
+        import jax
+
         from ..ops.pallas.windowed_nmf_kernel import supports_windowed
 
+        devices = jax.devices()
+        if not opts.get("use_windowed") and not (
+            len(devices) == 1 and devices[0].platform == "tpu"
+        ):
+            return False
         fact = self.factorize_op
         mats, d, p = self._fw
+        # Solver options beyond the kernel's coverage fall back to XLA.
+        if not isinstance(fact.solver, str) or fact.project is not None:
+            return False
+        from ..factorization.inits import RandomInit
+
+        if not isinstance(fact.initializer, RandomInit):
+            return False
         return supports_windowed(out.shape, d, p, fact.solver, fact.rank_)
 
     def _split_shift_eligible(self) -> bool:

@@ -31,6 +31,11 @@ __all__ = ["nmf_reconstruct", "xla_nmf_reconstruct", "supports"]
 EPS = 1e-16
 
 
+
+def _mm(a: Array, b: Array) -> Array:
+    """f32-faithful matmul (default precision truncates operands to bf16)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 def _hals_iter(x: Array, u: Array, v: Array, eps: float) -> tuple[Array, Array]:
     """One HALS iteration (rank handled by per-column loop; rank-1 fast path)."""
     R = u.shape[-1]
@@ -41,10 +46,12 @@ def _hals_iter(x: Array, u: Array, v: Array, eps: float) -> tuple[Array, Array]:
         a = jax.lax.dot_general(
             x_, v_, (((x_.ndim - 1,), (v_.ndim - 2,)), (tuple(range(x_.ndim - 2)),) * 2),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (..., M, R)
         b = jax.lax.dot_general(
             v_, v_, (((v_.ndim - 2,), (v_.ndim - 2,)), (tuple(range(v_.ndim - 2)),) * 2),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (..., R, R)
         if R == 1:
             return relu((a + eps) / (b + eps))
@@ -57,7 +64,7 @@ def _hals_iter(x: Array, u: Array, v: Array, eps: float) -> tuple[Array, Array]:
             b_others = jnp.concatenate(
                 [b[..., j : j + 1, r : r + 1] for j in others], axis=-2
             )
-            num = a[..., r : r + 1] - u_others @ b_others + eps
+            num = a[..., r : r + 1] - _mm(u_others, b_others) + eps
             den = b[..., r : r + 1, r : r + 1] + eps
             cols[r] = relu(num / den)
         return jnp.concatenate(cols, axis=-1)
@@ -74,12 +81,14 @@ def _mu_iter(x: Array, u: Array, v: Array, eps: float) -> tuple[Array, Array]:
         a = jax.lax.dot_general(
             x_, v_, (((x_.ndim - 1,), (v_.ndim - 2,)), (tuple(range(x_.ndim - 2)),) * 2),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         b = jax.lax.dot_general(
             v_, v_, (((v_.ndim - 2,), (v_.ndim - 2,)), (tuple(range(v_.ndim - 2)),) * 2),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        return (u_ * a + eps) / (u_ @ b + eps)
+        return (u_ * a + eps) / (_mm(u_, b) + eps)
 
     u = update(x, u, v)
     v = update(jnp.swapaxes(x, -1, -2), v, u)
@@ -104,7 +113,7 @@ def xla_nmf_reconstruct(
     v = jnp.broadcast_to(v0, (*batch, *v0.shape)).astype(x.dtype)
     for _ in range(num_iters):
         u, v = it(x, u, v, eps)
-    return u @ jnp.swapaxes(v, -1, -2)
+    return _mm(u, jnp.swapaxes(v, -1, -2))
 
 
 def _rank1_iter_vpu(x: Array, u: Array, v: Array, eps: float, solver: str) -> tuple[Array, Array]:
@@ -146,7 +155,7 @@ def _kernel(x_ref, u0_ref, v0_ref, y_ref, *, solver: str, num_iters: int, eps: f
     it = _SOLVER_ITERS[solver]
     for _ in range(num_iters):
         u, v = it(x, u, v, eps)
-    y_ref[...] = (u @ jnp.swapaxes(v, -1, -2)).astype(y_ref.dtype)
+    y_ref[...] = _mm(u, jnp.swapaxes(v, -1, -2)).astype(y_ref.dtype)
 
 
 def _pick_tile(n_mats: int, m: int, n: int, rank: int, vmem_budget: int = 6 * 2**20) -> int:
@@ -249,7 +258,7 @@ def _bwd(solver, num_iters, eps, num_grad_steps, residuals, g):
         for i in range(1, num_iters + 1):
             u, v = it(x_ng if i <= k else x_in, u, v, eps)
         # match the kernel's output dtype (solver matmuls accumulate f32)
-        return (u @ jnp.swapaxes(v, -1, -2)).astype(x_in.dtype)
+        return _mm(u, jnp.swapaxes(v, -1, -2)).astype(x_in.dtype)
 
     _, vjp = jax.vjp(recompute, x)
     (dx,) = vjp(g)

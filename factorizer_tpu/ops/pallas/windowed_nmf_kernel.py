@@ -3,27 +3,42 @@
 The Factorizer mixer's data path is ``matricize (transpose) -> NMF ->
 inverse matricize (transpose)``.  Under XLA each transpose materializes the
 full matricized tensor in HBM, which dominates the mixer's runtime
-(PERFORMANCE.md).  This kernel instead streams the volume through VMEM in
-window rows and solves the rank-1 factorization *in the volume's own
-layout* — the matricized tensor never exists.
+(PERFORMANCE.md: ~130 ms of the 267 ms bf16 flagship forward is fold/unfold
+transposes plus the layout copies XLA inserts around them).  This kernel
+instead streams the volume through VMEM and solves the rank-1 factorization
+*in the volume's own layout* — the matricized tensor never exists, so the
+mixer core costs one HBM read + one write per shift.
+
+v2 blocking (this file): each grid step loads a full row of windows along
+the contiguous last spatial axis — block ``(1, p, p, S3, C)`` — so DMA runs
+are ``S3*C`` elements (8 KB+ at the flagship config) instead of v1's 1 KB
+per-window strides, and all ``g3 = S3/p`` windows of the row are solved
+together.  (v1, one window per block, measured 87 ms vs ~30 ms for the
+transpose path at stage-0 scale; v2 wins — see PERFORMANCE.md.)
 
 Key trick (Mosaic supports no lane-splitting reshapes): the per-window
-factor ``u`` lives channel-shaped ``(C,) = (heads*head_dim,)`` and ``v``
-lives patch-shaped ``(p, p, p, C)`` broadcast across the ``head_dim``
-channels of its head.  The only cross-channel coupling — per-head sums for
-the Gram terms — is a multiply by a precomputed block-diagonal head mask
-``M in {0,1}^{C x C}``, i.e. one tiny MXU matmul per update:
+factor ``u`` lives channel-shaped ``(g3, C)`` and ``v`` lives patch-shaped
+``(p*p, g3, p, C)``, constant across the ``head_dim`` channels of each head.
+The only cross-channel coupling — per-head sums for the Gram terms — is a
+multiply by a precomputed block-diagonal head mask ``M in {0,1}^{C x C}``,
+i.e. one small MXU matmul per update:
 
-    a_u[c]        = sum_ijk x * v                  (elementwise + reduce)
-    b_u[c]        = sum_ijk v * v                  (constant across a head)
-    a_v[ijk, c]   = (x * u) @ M                    (head-sum, broadcast back)
-    b_v[c]        = (u * u) @ M
+    a_u[w, c]      = sum_q x * v               (elementwise + sublane reduce)
+    b_u[w, c]      = sum_q v * v               (constant across a head)
+    a_v[q, w, c]   = (x * u) @ M               (head-sum, broadcast back)
+    b_v[w, c]      = (u * u) @ M
 
 which reproduces the reference HALS/MU updates exactly
 (matrix_factorization.py:210-247 specialized to rank 1).  Shifted-window
 copies are handled by the caller with ``jnp.roll`` (activation and roll
-commute with the fold).  Backward is a ``custom_vjp`` recomputing the
-mathematically identical XLA fold->solve->unfold.
+commute with the fold).
+
+Backward runs the same field-form math as a second Pallas kernel that
+differentiates the block-local solve with ``jax.vjp`` *inside* the kernel —
+forward recompute and backprop both stay in VMEM, so the VJP also costs one
+read of ``(x, g)`` + one write of ``dx`` instead of the multi-pass XLA
+recompute (incl. the ``num_grad_steps`` truncation semantics,
+matrix_factorization.py:506-512).
 """
 
 from __future__ import annotations
@@ -90,91 +105,480 @@ def xla_windowed_nmf_reconstruct(
     v = jnp.broadcast_to(v0, (*batch, *v0.shape)).astype(jnp.float32)
     for _ in range(num_iters):
         u, v = it(m, u, v, eps)
-    y = u @ jnp.swapaxes(v, -1, -2)
+    y = jnp.matmul(u, jnp.swapaxes(v, -1, -2), precision=jax.lax.Precision.HIGHEST)
     return _unfold(y, x.shape, head_dim, patch).astype(x.dtype)
 
 
-def _kernel(x_ref, u0b_ref, v0b_ref, mask_ref, y_ref, *, patch: int,
-            solver: str, num_iters: int, eps: float):
-    # Block: (1, p, p, p, C) — exactly one window; grid covers (B, g1, g2, g3).
+def _solve_field(x4: Array, u0b: Array, v0p: Array, mask: Array, *, patch: int,
+                 solver: str, num_iters: int, eps: float,
+                 precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Rank-1 windowed solve in field form on a row of windows.
+
+    Args:
+        x4: ``(p*p, g3, p, C)`` float32 — one row of ``g3`` windows.
+        u0b: ``(1, C)`` u0 tiled across heads.
+        v0p: ``(p*p, p)`` v0 reshaped to patch layout.
+        mask: ``(C, C)`` block-diagonal head indicator.
+
+    Returns:
+        ``u v^T`` per window/head, same field shape as ``x4``.
+    """
+    u, v = _field_iterates(
+        x4, u0b, v0p, mask, patch=patch, solver=solver, num_iters=num_iters,
+        eps=eps, precision=precision,
+    )
+    return u[None, :, None, :] * v
+
+
+def _kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
+            solver: str, num_iters: int, eps: float,
+            precision=jax.lax.Precision.HIGHEST):
+    # Block: (1, p, p, S3, C) — a full row of g3 = S3/p windows.
     p = patch
-    c = x_ref.shape[4]
-    mask = mask_ref[...].astype(jnp.float32)  # (C, C) block-diagonal head mask
-    u0 = u0b_ref[...].astype(jnp.float32)  # (1, C): u0 tiled over heads
-    v0 = v0b_ref[...].astype(jnp.float32)  # (p, p, p): shared patch factor
+    _, _, _, s3, c = x_ref.shape
+    g3 = s3 // p
+    x = x_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
+    y = _solve_field(
+        x, u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
+        mask_ref[...].astype(jnp.float32),
+        patch=patch, solver=solver, num_iters=num_iters, eps=eps,
+        precision=precision,
+    )
+    y_ref[0] = y.reshape(p, p, s3, c).astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
+                solver: str, num_iters: int, num_grad_steps, eps: float,
+                precision=jax.lax.Precision.HIGHEST):
+    """VJP of the block-local solve, computed entirely in VMEM."""
+    p = patch
+    _, _, _, s3, c = x_ref.shape
+    g3 = s3 // p
+    x = x_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
+    g = g_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
+    u0b = u0b_ref[...].astype(jnp.float32)
+    v0p = v0p_ref[...].astype(jnp.float32)
+    mask = mask_ref[...].astype(jnp.float32)
+
+    num_grad = num_iters if num_grad_steps is None else num_grad_steps
+    k = num_iters - num_grad
+
+    def f(x_in):
+        # Mirror MatrixFactorization.decompose's stop_gradient phases: the
+        # first k iterations consume a non-differentiable copy of x.
+        if k >= num_iters:
+            x_head = jax.lax.stop_gradient(x_in)
+            return _solve_field(
+                x_head, u0b, v0p, mask,
+                patch=patch, solver=solver, num_iters=num_iters, eps=eps,
+                precision=precision,
+            )
+        if k > 0:
+            x_ng = jax.lax.stop_gradient(x_in)
+            # Run the truncated prefix on the stopped copy, then re-enter the
+            # differentiable tail.  _solve_field is a fixed unrolled loop, so
+            # split it: prefix iterations with x_ng, tail with x_in.
+            u, v = _field_iterates(x_ng, u0b, v0p, mask, patch=patch,
+                                   solver=solver, num_iters=k, eps=eps,
+                                   precision=precision)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            return _field_tail(x_in, u, v, mask, solver=solver,
+                               num_iters=num_iters - k, eps=eps,
+                               precision=precision)
+        return _solve_field(
+            x_in, u0b, v0p, mask,
+            patch=patch, solver=solver, num_iters=num_iters, eps=eps,
+            precision=precision,
+        )
+
+    _, vjp = jax.vjp(f, x)
+    (dx,) = vjp(g)
+    dx_ref[0] = dx.reshape(p, p, s3, c).astype(dx_ref.dtype)
+
+
+def _field_iterates(x4, u0b, v0p, mask, *, patch, solver, num_iters, eps,
+                    precision=jax.lax.Precision.HIGHEST):
+    """Like :func:`_solve_field` but returns the factors, not ``u v^T``."""
+    p = patch
+    pp, g3, _, c = x4.shape
+    u = jnp.broadcast_to(u0b, (g3, c))
+    v = jnp.broadcast_to(v0p[:, None, :, None], (pp, g3, p, c))
+    return _field_tail_factors(x4, u, v, mask, solver=solver,
+                               num_iters=num_iters, eps=eps, precision=precision)
+
+
+def _field_tail_factors(x4, u, v, mask, *, solver, num_iters, eps,
+                        precision=jax.lax.Precision.HIGHEST):
     relu = jax.nn.relu
 
-    def head_sum(t: Array) -> Array:
-        # (..., C) @ (C, C) mask: per-head sum broadcast back to each channel
+    def head_sum(t):
+        # HIGHEST keeps the MXU inputs at f32 for float32 inputs (default
+        # precision truncates operands to bf16, breaking the solver's f32
+        # parity contract).  For bfloat16 activations the caller passes
+        # DEFAULT: the operands carry bf16 information anyway and
+        # accumulation stays f32, so nothing is lost and the matmul runs 6x
+        # fewer MXU passes.
         return jax.lax.dot_general(
             t, mask, (((t.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
-    xw = x_ref[0].astype(jnp.float32)  # (p, p, p, C)
-    u = u0[0]  # (C,)
-    v = jnp.broadcast_to(v0[..., None], (p, p, p, c))  # head-broadcast v
-
-    for _ in range(num_iters):  # statically unrolled, all on-chip
-        a_u = jnp.sum(xw * v, axis=(0, 1, 2))  # (C,)
-        b_u = jnp.sum(v * v, axis=(0, 1, 2))  # (C,) — constant per head
+    for _ in range(num_iters):
+        a_u = jnp.sum(x4 * v, axis=(0, 2))
+        b_u = jnp.sum(v * v, axis=(0, 2))
         if solver == "hals":
             u = relu((a_u + eps) / (b_u + eps))
-        else:  # mu
+        else:
             u = (u * a_u + eps) / (u * b_u + eps)
-        a_v = head_sum(xw * u)  # (p,p,p,C)
-        b_v = head_sum((u * u)[None, :])[0]  # (C,)
+        ub = u[None, :, None, :]
+        a_v = head_sum(x4 * ub)
+        b_v = head_sum(u * u)[None, :, None, :]
         if solver == "hals":
             v = relu((a_v + eps) / (b_v + eps))
         else:
             v = (v * a_v + eps) / (v * b_v + eps)
+    return u, v
 
-    y_ref[0] = (u * v).astype(y_ref.dtype)
+
+def _field_tail(x4, u, v, mask, *, solver, num_iters, eps,
+                precision=jax.lax.Precision.HIGHEST):
+    u, v = _field_tail_factors(x4, u, v, mask, solver=solver, num_iters=num_iters,
+                               eps=eps, precision=precision)
+    return u[None, :, None, :] * v
+
+
+def _roll_last_spatial(t: Array, s3: int, size: int) -> Array:
+    """Static cyclic roll along the block's last spatial (sublane) axis.
+
+    Implemented as slice+concat so it lowers on Mosaic and in interpret mode.
+    ``rolled[..., t, :] = x[..., (t - s3) % size, :]`` (jnp.roll semantics).
+    """
+    if s3 % size == 0:
+        return t
+    s3 = s3 % size
+    return jnp.concatenate([t[..., size - s3 :, :], t[..., : size - s3, :]], axis=-2)
+
+
+def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
+                  shift3: int, solver: str, num_iters: int, eps: float,
+                  precision=jax.lax.Precision.HIGHEST):
+    """Forward solve on a pre-shifted (via Element offsets) row of windows.
+
+    The block was loaded from the wrap-padded volume at element offset
+    ``i*p + p - s`` in dims 1/2, so only the cyclic dim-3 shift remains; it is
+    applied (and inverted) on-chip so ``jnp.roll`` never materializes in HBM.
+    The output block is written in dims-1/2-rolled coordinates (the caller
+    rolls those back; XLA fuses that into the shift-averaging add).
+    """
+    p = patch
+    _, _, _, s3, c = x_ref.shape
+    g3 = s3 // p
+    x = _roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3)
+    y = _solve_field(
+        x.reshape(p * p, g3, p, c),
+        u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
+        mask_ref[...].astype(jnp.float32),
+        patch=patch, solver=solver, num_iters=num_iters, eps=eps,
+        precision=precision,
+    ).reshape(p, p, s3, c)
+    y_ref[0] = _roll_last_spatial(y, -shift3, s3).astype(y_ref.dtype)
+
+
+def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
+                      shift3: int, solver: str, num_iters: int,
+                      num_grad_steps, eps: float,
+                      precision=jax.lax.Precision.HIGHEST):
+    """VJP of the shifted block-local solve, entirely in VMEM."""
+    p = patch
+    _, _, _, s3, c = x_ref.shape
+    g3 = s3 // p
+    x = _roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3)
+    g = _roll_last_spatial(g_ref[0].astype(jnp.float32), shift3, s3)
+    u0b = u0b_ref[...].astype(jnp.float32)
+    v0p = v0p_ref[...].astype(jnp.float32)
+    mask = mask_ref[...].astype(jnp.float32)
+
+    num_grad = num_iters if num_grad_steps is None else num_grad_steps
+    k = num_iters - num_grad
+
+    def f(x_in):
+        x4 = x_in.reshape(p * p, g3, p, c)
+        if k >= num_iters:
+            x4 = jax.lax.stop_gradient(x4)
+            y = _solve_field(x4, u0b, v0p, mask, patch=patch, solver=solver,
+                             num_iters=num_iters, eps=eps, precision=precision)
+        elif k > 0:
+            u, v = _field_iterates(jax.lax.stop_gradient(x4), u0b, v0p, mask,
+                                   patch=patch, solver=solver, num_iters=k,
+                                   eps=eps, precision=precision)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            y = _field_tail(x4, u, v, mask, solver=solver,
+                            num_iters=num_iters - k, eps=eps,
+                            precision=precision)
+        else:
+            y = _solve_field(x4, u0b, v0p, mask, patch=patch, solver=solver,
+                             num_iters=num_iters, eps=eps, precision=precision)
+        return y.reshape(p, p, s3, c)
+
+    _, vjp = jax.vjp(f, x)
+    (dx,) = vjp(g)
+    dx_ref[0] = _roll_last_spatial(dx, -shift3, s3).astype(dx_ref.dtype)
+
+
+def _pad12(x: Array, p: int) -> Array:
+    """Wrap-pad dims 1 and 2 by ``p`` at the front: ``xp[k] = x[(k - p) % S]``."""
+    x = jnp.concatenate([x[:, -p:], x], axis=1)
+    return jnp.concatenate([x[:, :, -p:], x], axis=2)
+
+
+def _shifted_specs(patch: int, s1: int, s2: int, s3: int, c: int, shift: tuple[int, int, int]):
+    """Specs for one shifted pass: Element-indexed reads from the padded volume."""
+    p = patch
+    sh1, sh2, _ = shift
+    in_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(p), pl.Element(p), pl.Element(s3), pl.Element(c)),
+        lambda b, i, j: (b, i * p + p - sh1, j * p + p - sh2, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, p, p, s3, c), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    const_specs = [
+        pl.BlockSpec((1, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((p * p, p), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return in_spec, out_spec, const_specs
+
+
+def _norm_shift(shift, patch: int) -> tuple[int, int, int]:
+    if shift is None:
+        return (0, 0, 0)
+    if isinstance(shift, int):
+        shift = (shift, shift, shift)
+    s = tuple(int(v) % patch for v in shift)
+    if len(s) != 3:
+        raise ValueError(f"shift must be a 3-tuple, got {shift!r}")
+    return s
+
+
+def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps):
+    B, s1, s2, s3, c = x.shape
+    p = patch
+    g1, g2 = s1 // p, s2 // p
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c)
+    xp = _pad12(x, p)
+
+    acc = None
+    for shift in shifts:
+        sh = _norm_shift(shift, p)
+        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
+        ys = pl.pallas_call(
+            functools.partial(
+                _shift_kernel, patch=p, shift3=sh[2], solver=solver,
+                num_iters=num_iters, eps=eps,
+                precision=_pick_precision(x.dtype),
+            ),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(B, g1, g2),
+            in_specs=[in_spec, *const_specs],
+            out_specs=out_spec,
+            interpret=not _on_tpu(),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * num_iters * x.size,
+                bytes_accessed=2 * x.dtype.itemsize * x.size,
+                transcendentals=0,
+            ),
+        )(xp, u0b, v0p, mask)
+        # Undo the dims-1/2 shift (dim 3 was unrolled in-kernel).  XLA fuses
+        # these gather-style rolls into the averaging add.
+        if sh[0] or sh[1]:
+            ys = jnp.roll(ys, (-sh[0], -sh[1]), (1, 2))
+        acc = ys if acc is None else acc + ys
+    return acc / len(shifts)
+
+
+def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
+                         num_grad_steps, eps):
+    B, s1, s2, s3, c = x.shape
+    p = patch
+    g1, g2 = s1 // p, s2 // p
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c)
+    scale = 1.0 / len(shifts)
+    xp = _pad12(x, p)
+    # The cotangent seen by each shift's solve is g rolled forward (the
+    # adjoint of the output's inverse roll), handled by the same padded
+    # Element-offset loads as the input.
+    gp = _pad12(g, p)
+
+    dacc = None
+    for shift in shifts:
+        sh = _norm_shift(shift, p)
+        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
+        dxs = pl.pallas_call(
+            functools.partial(
+                _shift_bwd_kernel, patch=p, shift3=sh[2], solver=solver,
+                num_iters=num_iters, num_grad_steps=num_grad_steps, eps=eps,
+                precision=_pick_precision(x.dtype),
+            ),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(B, g1, g2),
+            in_specs=[in_spec, in_spec, *const_specs],
+            out_specs=out_spec,
+            interpret=not _on_tpu(),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=30 * num_iters * x.size,
+                bytes_accessed=3 * x.dtype.itemsize * x.size,
+                transcendentals=0,
+            ),
+        )(xp, gp, u0b, v0p, mask)
+        if sh[0] or sh[1]:
+            dxs = jnp.roll(dxs, (-sh[0], -sh[1]), (1, 2))
+        dacc = dxs if dacc is None else dacc + dxs
+    return dacc * scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def windowed_nmf_multi(
+    x: Array,
+    u0: Array,
+    v0: Array,
+    head_dim: int,
+    patch: int,
+    shifts: tuple = (None,),
+    solver: str = "hals",
+    num_iters: int = 5,
+    eps: float = EPS,
+    num_grad_steps=None,
+) -> Array:
+    """Shifted-window fused NMF mixing: mean over shifts of
+    ``roll^-1(unfold(solve(fold(roll(x)))))`` in one padded pass per shift.
+
+    Matches SWMatricize fold -> NMF -> averaged exact inverse
+    (reference: operations.py:358-434 + matrix_factorization.py:544) without
+    ever materializing the matricized tensor or the rolled copies.
+
+    Args:
+        x: ``(B, S1, S2, S3, C)`` channels-last volume (activation applied).
+        shifts: sequence of ``None``/int/3-tuple cyclic shifts.
+    """
+    return _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps)
+
+
+def _multi_fwd(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps, num_grad_steps):
+    y = _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps)
+    return y, (x, u0, v0)
+
+
+def _multi_bwd(head_dim, patch, shifts, solver, num_iters, eps, num_grad_steps, res, g):
+    x, u0, v0 = res
+    dx = _multi_backward_impl(
+        x, g, u0, v0, head_dim, patch, shifts, solver, num_iters, num_grad_steps, eps
+    )
+    return dx, jnp.zeros_like(u0), jnp.zeros_like(v0)
+
+
+windowed_nmf_multi.defvjp(_multi_fwd, _multi_bwd)
+
+
+def _prep_inputs(u0: Array, v0: Array, patch: int, head_dim: int, c: int):
+    """Trace-time constant kernel inputs: tiled u0, patch v0, head mask."""
+    h = c // head_dim
+    u0b = jnp.tile(u0[:, 0].astype(jnp.float32), h)[None]  # (1, C)
+    v0p = v0[:, 0].astype(jnp.float32).reshape(patch * patch, patch)  # (p^2, p)
+    mask = jnp.asarray(
+        np.kron(np.eye(h, dtype=np.float32), np.ones((head_dim, head_dim), np.float32))
+    )
+    return u0b, v0p, mask
+
+
+def _row_specs(patch: int, s3: int, c: int):
+    """Block specs for the (1, p, p, S3, C) row-of-windows blocking."""
+    vol_spec = pl.BlockSpec(
+        (1, patch, patch, s3, c),
+        lambda b, i, j: (b, i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    const_specs = [
+        pl.BlockSpec((1, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (patch * patch, patch), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((c, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    return vol_spec, const_specs
+
+
+
+
+def _pick_precision(dtype) -> jax.lax.Precision:
+    """f32 inputs get f32-faithful MXU passes; bf16 inputs already carry only
+    bf16 information on the x side, so DEFAULT (bf16 operands, f32
+    accumulation) is both exact-enough and 6x cheaper."""
+    return (
+        jax.lax.Precision.DEFAULT
+        if dtype in (jnp.bfloat16, jnp.float16)
+        else jax.lax.Precision.HIGHEST
+    )
+
+def _on_tpu() -> bool:
+    return any(d.platform == "tpu" for d in jax.devices())
 
 
 def _forward_impl(x, u0, v0, head_dim, patch, solver, num_iters, eps):
     B, s1, s2, s3, c = x.shape
-    h = c // head_dim
-    g1, g2, g3 = s1 // patch, s2 // patch, s3 // patch
+    g1, g2 = s1 // patch, s2 // patch
+    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c)
+    vol_spec, const_specs = _row_specs(patch, s3, c)
 
-    # Precomputed (trace-time constant) kernel inputs: tiled u0, patch-shaped
-    # v0, and the block-diagonal head mask.
-    u0b = jnp.tile(u0[:, 0].astype(jnp.float32), h)[None]  # (1, C)
-    v0b = v0[:, 0].astype(jnp.float32).reshape(patch, patch, patch)
-    mask = jnp.asarray(np.kron(np.eye(h, dtype=np.float32), np.ones((head_dim, head_dim), np.float32)))
-
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
     return pl.pallas_call(
         functools.partial(
-            _kernel, patch=patch, solver=solver, num_iters=num_iters, eps=eps
+            _kernel, patch=patch, solver=solver, num_iters=num_iters, eps=eps,
+            precision=_pick_precision(x.dtype),
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(B, g1, g2, g3),
-        in_specs=[
-            pl.BlockSpec(
-                (1, patch, patch, patch, c),
-                lambda b, i, j, k: (b, i, j, k, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, c), lambda b, i, j, k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (patch, patch, patch), lambda b, i, j, k: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((c, c), lambda b, i, j, k: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, patch, patch, patch, c),
-            lambda b, i, j, k: (b, i, j, k, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        interpret=not on_tpu,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=14 * 2**20),
+        grid=(B, g1, g2),
+        in_specs=[vol_spec, *const_specs],
+        out_specs=vol_spec,
+        interpret=not _on_tpu(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=4 * num_iters * x.size,
-            bytes_accessed=2 * 4 * x.size,
+            flops=10 * num_iters * x.size,
+            bytes_accessed=2 * x.dtype.itemsize * x.size,
             transcendentals=0,
         ),
-    )(x, u0b, v0b, mask)
+    )(x, u0b, v0p, mask)
+
+
+def _backward_impl(x, g, u0, v0, head_dim, patch, solver, num_iters, num_grad_steps, eps):
+    B, s1, s2, s3, c = x.shape
+    g1, g2 = s1 // patch, s2 // patch
+    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c)
+    vol_spec, const_specs = _row_specs(patch, s3, c)
+
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, patch=patch, solver=solver, num_iters=num_iters,
+            num_grad_steps=num_grad_steps, eps=eps,
+            precision=_pick_precision(x.dtype),
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B, g1, g2),
+        in_specs=[vol_spec, vol_spec, *const_specs],
+        out_specs=vol_spec,
+        interpret=not _on_tpu(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * num_iters * x.size,
+            bytes_accessed=3 * x.dtype.itemsize * x.size,
+            transcendentals=0,
+        ),
+    )(x, g, u0b, v0p, mask)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
@@ -207,23 +611,9 @@ def _fwd(x, u0, v0, head_dim, patch, solver, num_iters, eps, num_grad_steps):
 
 def _bwd(head_dim, patch, solver, num_iters, eps, num_grad_steps, res, g):
     x, u0, v0 = res
-    num_grad = num_iters if num_grad_steps is None else num_grad_steps
-    k = num_iters - num_grad
-
-    def recompute(x_in):
-        it = _SOLVER_ITERS[solver]
-        m_full = _fold(x_in, head_dim, patch).astype(jnp.float32)
-        m_ng = jax.lax.stop_gradient(m_full)
-        batch = m_full.shape[:-2]
-        u = jnp.broadcast_to(u0, (*batch, *u0.shape)).astype(jnp.float32)
-        v = jnp.broadcast_to(v0, (*batch, *v0.shape)).astype(jnp.float32)
-        for i in range(1, num_iters + 1):
-            u, v = it(m_ng if i <= k else m_full, u, v, eps)
-        y = u @ jnp.swapaxes(v, -1, -2)
-        return _unfold(y, x_in.shape, head_dim, patch).astype(x_in.dtype)
-
-    _, vjp = jax.vjp(recompute, x)
-    (dx,) = vjp(g)
+    dx = _backward_impl(
+        x, g, u0, v0, head_dim, patch, solver, num_iters, num_grad_steps, eps
+    )
     return dx, jnp.zeros_like(u0), jnp.zeros_like(v0)
 
 
