@@ -124,11 +124,12 @@ class MatrixFactorization(nn.Module):
             return False
         if self.use_pallas is not None:
             return bool(self.use_pallas)
-        # Auto mode: fused kernel on a single TPU chip.  (Multi-chip GSPMD
-        # can't partition a custom call automatically — the XLA path shards
-        # fine, so prefer it there.)
+        # Auto mode: fused kernel on TPU, single- or multi-chip.  The kernel
+        # carries a custom_partitioning rule (ops/pallas/partitioning.py), so
+        # GSPMD shards it along the batch/window/head dims of the folded
+        # input instead of dropping to the unfused path at scale.
         devices = jax.devices()
-        return len(devices) == 1 and devices[0].platform == "tpu"
+        return devices[0].platform == "tpu"
 
     def __call__(self, x: Array) -> Array:
         if x.ndim >= 3 and self._fused_eligible():

@@ -194,7 +194,7 @@ def nmf_reconstruct(
     Returns:
         ``u @ v^T`` of the same shape as ``x``.
     """
-    return _forward_impl(x, u0, v0, solver, num_iters, eps)
+    return _dispatch_forward(x, u0, v0, solver, num_iters, eps)
 
 
 def _forward_impl(x, u0, v0, solver, num_iters, eps):
@@ -238,8 +238,34 @@ def _forward_impl(x, u0, v0, solver, num_iters, eps):
     return y.reshape(*batch, m, n)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(ndim: int, solver: str, num_iters: int, eps: float):
+    """A GSPMD-partitionable wrapper of the forward kernel for this config.
+
+    Shardable along every leading batch dim of x — after the matricize fold
+    those are the (batch*heads) and window axes, so dp / window(sp) / head(tp)
+    shardings all keep the fused kernel local per device.
+    """
+    from .partitioning import make_batched_partitioned
+
+    def local(x, u0, v0):
+        return _forward_impl(x, u0, v0, solver, num_iters, eps)
+
+    return make_batched_partitioned(
+        local, n_batch_dims=ndim - 2, n_operands=3, operand_ranks=(ndim, 2, 2)
+    )
+
+
+def _dispatch_forward(x, u0, v0, solver, num_iters, eps):
+    from .partitioning import multi_device
+
+    if multi_device():
+        return _partitioned_forward(x.ndim, solver, num_iters, float(eps))(x, u0, v0)
+    return _forward_impl(x, u0, v0, solver, num_iters, eps)
+
+
 def _fwd(x, u0, v0, solver, num_iters, eps, num_grad_steps):
-    y = _forward_impl(x, u0, v0, solver, num_iters, eps)
+    y = _dispatch_forward(x, u0, v0, solver, num_iters, eps)
     return y, (x, u0, v0)
 
 

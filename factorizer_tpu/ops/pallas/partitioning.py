@@ -1,0 +1,115 @@
+"""GSPMD partitioning for the fused Pallas kernels.
+
+GSPMD cannot partition a bare custom call, so without help the fused kernels
+would force their operands replicated — the flagship would lose its main
+optimization exactly when scaling out (the round-1 gap).  The kernels are
+batched-independent ops, so we teach the partitioner their sharding rule via
+``jax.experimental.custom_partitioning``:
+
+* any *batch* dimension may be sharded arbitrarily (each device runs the
+  kernel on its local slice);
+* the *solve* dimensions (the trailing matrix axes of the flat kernel; every
+  non-batch axis of the windowed kernel) must be replicated — the partition
+  callback proposes resharding when a user sharding violates this, and
+  GSPMD inserts the collectives.
+
+This is the TPU-native analogue of the reference's DDP hot path
+(train_multigpu.yaml:3-6): the kernel runs unchanged per shard and XLA owns
+the communication.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import Callable, Sequence
+
+import jax
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ["make_batched_partitioned", "multi_device"]
+
+
+def multi_device() -> bool:
+    return len(jax.devices()) > 1
+
+
+def _batch_only_spec(mesh, sharding, ndim: int, n_batch: int) -> NamedSharding:
+    """The operand/result sharding: user's spec on batch dims, rest replicated."""
+    spec = list(sharding.spec) if sharding is not None else []
+    spec += [None] * (ndim - len(spec))
+    for i in range(n_batch, ndim):
+        spec[i] = None
+    return NamedSharding(mesh, P(*spec))
+
+
+def make_batched_partitioned(
+    fn: Callable,
+    n_batch_dims: int,
+    n_operands: int,
+    operand_ranks: Sequence[int],
+    n_batched_operands: int = 1,
+) -> Callable:
+    """Wrap ``fn(x, [g,] *consts) -> y`` so GSPMD shards along batch dims.
+
+    Args:
+        fn: the local computation; the first ``n_batched_operands`` operands
+            share batched leading dims, the rest are replicated constants.
+            The result has the batch dims leading.
+        n_batch_dims: how many leading dims of the batched operands (and the
+            result) are batch (independent) dims.
+        n_operands: total operand count.
+        operand_ranks: rank of each operand (used to build the einsum-like
+            Shardy rule).
+
+    Returns:
+        The partitioned callable with the same signature as ``fn``.
+    """
+    letters = iter(string.ascii_lowercase)
+    batch_factors = [next(letters) for _ in range(n_batch_dims)]
+
+    def fresh_factors(n: int) -> list[str]:
+        return [next(letters) for _ in range(n)]
+
+    maps: list[str] = []
+    need_replication: list[str] = []
+    for k, rank in enumerate(operand_ranks):
+        if k < n_batched_operands:
+            solve = fresh_factors(rank - n_batch_dims)
+            maps.append(" ".join(batch_factors + solve))
+        else:
+            solve = fresh_factors(rank)
+            maps.append(" ".join(solve))
+        need_replication += solve
+    out_map = maps[0]
+    rule = ", ".join(maps) + " -> " + out_map
+
+    wrapped = custom_partitioning(fn)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_only_spec(
+            mesh, arg_shapes[0].sharding, len(result_shape.shape), n_batch_dims
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        replicated = NamedSharding(mesh, P())
+        arg_shardings = tuple(
+            _batch_only_spec(
+                mesh, arg_shapes[0].sharding, len(arg_shapes[k].shape), n_batch_dims
+            )
+            if k < n_batched_operands
+            else replicated
+            for k in range(n_operands)
+        )
+        out_sharding = _batch_only_spec(
+            mesh, arg_shapes[0].sharding, len(result_shape.shape), n_batch_dims
+        )
+        return mesh, fn, out_sharding, arg_shardings
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(need_replication),
+    )
+    return wrapped

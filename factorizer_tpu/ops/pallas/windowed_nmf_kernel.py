@@ -365,35 +365,62 @@ def _norm_shift(shift, patch: int) -> tuple[int, int, int]:
     return s
 
 
-def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps):
-    B, s1, s2, s3, c = x.shape
-    p = patch
-    g1, g2 = s1 // p, s2 // p
-    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c)
-    xp = _pad12(x, p)
+@functools.lru_cache(maxsize=None)
+def _shift_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
+                   num_iters: int, eps: float, precision, partitioned: bool):
+    """One shifted forward pass ``(xp, u0b, v0p, mask) -> y`` for this config.
 
-    acc = None
-    for shift in shifts:
-        sh = _norm_shift(shift, p)
+    ``partitioned=True`` wraps it with a custom_partitioning rule so GSPMD
+    shards along the batch dim (every other dim must be replicated: blocks
+    read across window rows via element offsets and span full S3).
+    """
+    p = patch
+
+    def local(xp, u0b, v0p, mask):
+        B, s1p, s2p, s3, c = xp.shape
+        s1, s2 = s1p - p, s2p - p
         in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
-        ys = pl.pallas_call(
+        return pl.pallas_call(
             functools.partial(
                 _shift_kernel, patch=p, shift3=sh[2], solver=solver,
-                num_iters=num_iters, eps=eps,
-                precision=_pick_precision(x.dtype),
+                num_iters=num_iters, eps=eps, precision=precision,
             ),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            grid=(B, g1, g2),
+            out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3, c), xp.dtype),
+            grid=(B, s1 // p, s2 // p),
             in_specs=[in_spec, *const_specs],
             out_specs=out_spec,
             interpret=not _on_tpu(),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
             cost_estimate=pl.CostEstimate(
-                flops=10 * num_iters * x.size,
-                bytes_accessed=2 * x.dtype.itemsize * x.size,
+                flops=10 * num_iters * xp.size,
+                bytes_accessed=2 * xp.dtype.itemsize * xp.size,
                 transcendentals=0,
             ),
         )(xp, u0b, v0p, mask)
+
+    if not partitioned:
+        return local
+    from .partitioning import make_batched_partitioned
+
+    return make_batched_partitioned(
+        local, n_batch_dims=1, n_operands=4, operand_ranks=(5, 2, 2, 2)
+    )
+
+
+def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps):
+    from .partitioning import multi_device
+
+    p = patch
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, x.shape[-1])
+    xp = _pad12(x, p)
+    part = multi_device()
+
+    acc = None
+    for shift in shifts:
+        sh = _norm_shift(shift, p)
+        fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
+                            _pick_precision(x.dtype), part)
+        ys = fn(xp, u0b, v0p, mask)
         # Undo the dims-1/2 shift (dim 3 was unrolled in-kernel).  XLA fuses
         # these gather-style rolls into the averaging add.
         if sh[0] or sh[1]:
@@ -402,41 +429,67 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
     return acc / len(shifts)
 
 
+@functools.lru_cache(maxsize=None)
+def _shift_bwd_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
+                       num_iters: int, num_grad_steps, eps: float, precision,
+                       partitioned: bool):
+    """One shifted VJP pass ``(xp, gp, u0b, v0p, mask) -> dx`` for this config."""
+    p = patch
+
+    def local(xp, gp, u0b, v0p, mask):
+        B, s1p, s2p, s3, c = xp.shape
+        s1, s2 = s1p - p, s2p - p
+        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
+        return pl.pallas_call(
+            functools.partial(
+                _shift_bwd_kernel, patch=p, shift3=sh[2], solver=solver,
+                num_iters=num_iters, num_grad_steps=num_grad_steps, eps=eps,
+                precision=precision,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3, c), xp.dtype),
+            grid=(B, s1 // p, s2 // p),
+            in_specs=[in_spec, in_spec, *const_specs],
+            out_specs=out_spec,
+            interpret=not _on_tpu(),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=30 * num_iters * xp.size,
+                bytes_accessed=3 * xp.dtype.itemsize * xp.size,
+                transcendentals=0,
+            ),
+        )(xp, gp, u0b, v0p, mask)
+
+    if not partitioned:
+        return local
+    from .partitioning import make_batched_partitioned
+
+    # xp and gp share the batch sharding; the small factors are replicated.
+    return make_batched_partitioned(
+        local, n_batch_dims=1, n_operands=5, operand_ranks=(5, 5, 2, 2, 2),
+        n_batched_operands=2,
+    )
+
+
 def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
                          num_grad_steps, eps):
-    B, s1, s2, s3, c = x.shape
+    from .partitioning import multi_device
+
     p = patch
-    g1, g2 = s1 // p, s2 // p
-    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c)
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, x.shape[-1])
     scale = 1.0 / len(shifts)
     xp = _pad12(x, p)
     # The cotangent seen by each shift's solve is g rolled forward (the
     # adjoint of the output's inverse roll), handled by the same padded
     # Element-offset loads as the input.
     gp = _pad12(g, p)
+    part = multi_device()
 
     dacc = None
     for shift in shifts:
         sh = _norm_shift(shift, p)
-        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
-        dxs = pl.pallas_call(
-            functools.partial(
-                _shift_bwd_kernel, patch=p, shift3=sh[2], solver=solver,
-                num_iters=num_iters, num_grad_steps=num_grad_steps, eps=eps,
-                precision=_pick_precision(x.dtype),
-            ),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            grid=(B, g1, g2),
-            in_specs=[in_spec, in_spec, *const_specs],
-            out_specs=out_spec,
-            interpret=not _on_tpu(),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
-            cost_estimate=pl.CostEstimate(
-                flops=30 * num_iters * x.size,
-                bytes_accessed=3 * x.dtype.itemsize * x.size,
-                transcendentals=0,
-            ),
-        )(xp, gp, u0b, v0p, mask)
+        fn = _shift_bwd_pass_fn(p, sh, solver, num_iters, num_grad_steps,
+                                float(eps), _pick_precision(x.dtype), part)
+        dxs = fn(xp, gp, u0b, v0p, mask)
         if sh[0] or sh[1]:
             dxs = jnp.roll(dxs, (-sh[0], -sh[1]), (1, 2))
         dacc = dxs if dacc is None else dacc + dxs
