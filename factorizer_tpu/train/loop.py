@@ -98,6 +98,9 @@ class SegmentationTrainer:
             return out[0] if isinstance(out, (list, tuple)) else out
 
         self._predict = jax.jit(_apply)  # compiled once; weights are traced args
+        # Stable predictor identity: the sliding-window runner caches its
+        # compiled executable keyed on this callable.
+        self._sw_predict = lambda windows, variables: _apply(variables, windows)
 
         self.ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep) if ckpt_dir else None
         self.log_dir = Path(log_dir) if log_dir else None
@@ -147,7 +150,6 @@ class SegmentationTrainer:
     def validate(self) -> dict:
         assert self.state is not None
         variables = self.state.variables()
-        predictor = lambda windows: self._predict(variables, windows)  # noqa: E731
 
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
@@ -157,9 +159,10 @@ class SegmentationTrainer:
             logits = sliding_window_inference(
                 images,
                 self.roi_size,
-                predictor,
+                self._sw_predict,
                 sw_batch_size=self.sw_batch_size,
                 overlap=self.overlap,
+                predictor_args=(variables,),
             )
             preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
             dice.update(jnp.asarray(preds), jnp.asarray(labels))
@@ -258,14 +261,16 @@ class Evaluator:
             return out[0] if isinstance(out, (list, tuple)) else out
 
         self._predict = jax.jit(_apply)
+        self._sw_predict = lambda windows, variables: _apply(variables, windows)
 
     def predict(self, images) -> jnp.ndarray:
         return sliding_window_inference(
             jnp.asarray(images),
             self.roi_size,
-            lambda w: self._predict(self.variables, w),
+            self._sw_predict,
             sw_batch_size=self.sw_batch_size,
             overlap=self.overlap,
+            predictor_args=(self.variables,),
         )
 
     def run(self, loader, save_case_metrics: Optional[str] = None) -> dict:

@@ -1,18 +1,29 @@
-"""Sliding-window inference with gaussian blending.
+"""Sliding-window inference with gaussian blending, compiled device-side.
 
 TPU-native equivalent of MONAI's ``SlidingWindowInfererAdapt``
 (reference: model_zoo/factorizer_brats23/configs/train.yaml:206-212: roi
-128^3, overlap 0.5, gaussian mode).  Window positions are computed statically
-from the (padded) volume shape, so the per-window predictor compiles exactly
-once; windows are batched into fixed-size groups (the last group is padded)
-to avoid any recompilation, and accumulation happens on device.
+128^3, overlap 0.5, gaussian mode).
+
+Design: window start offsets are computed statically from the (padded)
+volume shape, then the ENTIRE gather -> predict -> blend-accumulate loop runs
+as one ``lax.scan`` over fixed-size window groups inside a single ``jax.jit``
+— one compiled executable per volume shape, zero host round trips per
+window.  (Round 1 drove each window from the host with eager ``.at[].add``
+updates on the full output volume: O(n_windows) full-volume dispatches; on a
+BraTS-native 240x240x155 volume that was the eval bottleneck.)
+
+The predictor receives the stacked window batch plus ``predictor_args``
+(typically the model variables) as traced arguments, so checkpoints can be
+swapped without recompiling and weights are never baked into the executable
+as constants.  Pass a *stable* ``predictor`` callable (not a fresh lambda
+per call) to reuse the compiled executable across volumes.
 """
 
 from __future__ import annotations
 
 import itertools
 import math
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -59,28 +70,121 @@ def sliding_window_positions(
     return [tuple(p) for p in itertools.product(*starts_per_dim)]
 
 
+# One compiled executable per (predictor, shapes, config).  ``groups`` is
+# (n_groups, sw_batch, 1 + p) int32 of (sample, *window start); ``valid`` is
+# (n_groups, sw_batch) float32 with 0 for padding jobs.
+_RUNNER_CACHE: dict = {}
+
+
+def _gather_group(padded: Array, jobs: Array, roi: tuple) -> Array:
+    """Stack the windows of one group: jobs (sw, 1+p) -> (sw, C, *roi)."""
+    p = len(roi)
+    in_ch = padded.shape[1]
+
+    def gather_one(job):
+        start = (job[0], 0) + tuple(job[1 + i] for i in range(p))
+        return jax.lax.dynamic_slice(padded, start, (1, in_ch, *roi))[0]
+
+    return jax.vmap(gather_one)(jobs)
+
+
+def _accumulate_group(out_sum, weight_sum, preds, jobs, gvalid, importance, roi: tuple):
+    """Blend one group of predictions into the running sums (donated)."""
+    p = len(roi)
+    w = importance[None]
+    for j in range(jobs.shape[0]):  # windows may overlap: sequential updates
+        start_out = (jobs[j, 0], 0) + tuple(jobs[j, 1 + i] for i in range(p))
+        contrib = preds[j].astype(jnp.float32) * (w * gvalid[j])
+        cur = jax.lax.dynamic_slice(out_sum, start_out, (1, preds.shape[1], *roi))
+        out_sum = jax.lax.dynamic_update_slice(out_sum, cur + contrib[None], start_out)
+        wstart = (start_out[0], 0, *start_out[2:])
+        curw = jax.lax.dynamic_slice(weight_sum, wstart, (1, 1, *roi))
+        weight_sum = jax.lax.dynamic_update_slice(
+            weight_sum, curw + (w * gvalid[j])[None], wstart
+        )
+    return out_sum, weight_sum
+
+
+_gather_group_jit = jax.jit(_gather_group, static_argnums=(2,))
+_accumulate_group_jit = jax.jit(
+    _accumulate_group, static_argnums=(6,), donate_argnums=(0, 1)
+)
+
+
+def _get_runner(
+    predictor: Callable,
+    padded_shape: tuple,
+    dtype,
+    roi: tuple,
+    n_groups: int,
+    sw_batch_size: int,
+    key_extra: tuple,
+):
+    key = (predictor, padded_shape, str(dtype), roi, n_groups, sw_batch_size, key_extra)
+    fn = _RUNNER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def runner(padded, groups, valid, importance, *pred_args):
+        batch, in_ch = padded.shape[:2]
+        pspatial = padded.shape[2:]
+
+        def group_body(carry, grp):
+            out_sum, weight_sum = carry
+            jobs, gvalid = grp  # (sw, 1+p), (sw,)
+            windows = _gather_group(padded, jobs, roi)
+            preds = predictor(windows, *pred_args)
+            out_sum, weight_sum = _accumulate_group(
+                out_sum, weight_sum, preds, jobs, gvalid, importance, roi
+            )
+            return (out_sum, weight_sum), ()
+
+        out_ch = jax.eval_shape(
+            lambda w, *a: predictor(w, *a),
+            jax.ShapeDtypeStruct((sw_batch_size, in_ch, *roi), padded.dtype),
+            *pred_args,
+        ).shape[1]
+        out_sum = jnp.zeros((batch, out_ch, *pspatial), jnp.float32)
+        weight_sum = jnp.zeros((batch, 1, *pspatial), jnp.float32)
+        (out_sum, weight_sum), _ = jax.lax.scan(
+            group_body, (out_sum, weight_sum), (groups, valid)
+        )
+        return out_sum / jnp.maximum(weight_sum, 1e-8)
+
+    fn = jax.jit(runner)
+    _RUNNER_CACHE[key] = fn
+    return fn
+
+
 def sliding_window_inference(
     inputs: Array,
     roi_size: Sequence[int],
-    predictor: Callable[[Array], Array],
+    predictor: Callable[..., Array],
     sw_batch_size: int = 4,
     overlap: float = 0.5,
     mode: str = "gaussian",
     out_channels: Optional[int] = None,
     pad_value: float = 0.0,
+    predictor_args: Sequence[Any] = (),
+    host_loop: bool = False,
 ) -> Array:
     """Run ``predictor`` over overlapping windows and blend the results.
 
     Args:
         inputs: ``(B, C, *S)`` channels-first volume batch.
         roi_size: spatial window size fed to the predictor.
-        predictor: ``(n, C, *roi) -> (n, C_out, *roi)``.  All calls use
-            identical shapes, so a caller-jitted predictor compiles once.
-            Close over model weights via a traced argument (e.g.
-            ``lambda w: jitted(variables, w)``), NOT as literals.
+        predictor: ``(n, C, *roi), *predictor_args -> (n, C_out, *roi)``.
+            Pass a stable callable (defined once, not a per-call lambda) so
+            the compiled executable is reused across volumes of one shape.
         sw_batch_size: number of windows evaluated per predictor call.
         overlap: fractional window overlap.
         mode: ``"gaussian"`` or ``"constant"`` blending.
+        predictor_args: extra traced args for the predictor (e.g. the model
+            variables) — swapping them does not recompile.
+        host_loop: drive the group loop from the host instead of one fused
+            ``lax.scan`` executable.  Required when ``predictor`` is an
+            AOT-compiled executable (it cannot be traced); gather and
+            blend-accumulate still run as compiled device functions.
 
     Returns:
         ``(B, C_out, *S)`` blended predictions.
@@ -97,43 +201,38 @@ def sliding_window_inference(
     positions = sliding_window_positions(pspatial, roi, overlap)
     importance = jnp.asarray(compute_importance_map(roi, mode=mode))
 
-    # Gather all (sample, window) jobs.
-    jobs = [(b, pos) for b in range(batch) for pos in positions]
+    # All (sample, window) jobs, grouped into fixed-size batches.
+    jobs = np.asarray(
+        [(b, *pos) for b in range(batch) for pos in positions], dtype=np.int32
+    )
     n_jobs = len(jobs)
     n_groups = int(math.ceil(n_jobs / sw_batch_size))
+    pad_n = n_groups * sw_batch_size - n_jobs
+    valid = np.ones((n_jobs,), np.float32)
+    if pad_n:
+        jobs = np.concatenate([jobs, np.repeat(jobs[-1:], pad_n, axis=0)], axis=0)
+        valid = np.concatenate([valid, np.zeros((pad_n,), np.float32)])
+    groups = jnp.asarray(jobs.reshape(n_groups, sw_batch_size, 1 + p))
+    gvalid = jnp.asarray(valid.reshape(n_groups, sw_batch_size))
 
-    out_sum = None
-    weight_sum = jnp.zeros((batch, 1, *pspatial), jnp.float32)
-
-    for g in range(n_groups):
-        group = jobs[g * sw_batch_size : (g + 1) * sw_batch_size]
-        pad_n = sw_batch_size - len(group)
-        group_padded = group + [group[-1]] * pad_n
-
-        windows = jnp.stack(
-            [
-                jax.lax.dynamic_slice(
-                    padded[b], (0, *pos), (padded.shape[1], *roi)
-                )
-                for b, pos in group_padded
-            ]
-        )
-        preds = predictor(windows).astype(jnp.float32)
-
-        if out_sum is None:
-            out_sum = jnp.zeros((batch, preds.shape[1], *pspatial), jnp.float32)
-
-        for j, (b, pos) in enumerate(group):
-            w = importance[None]
-            contrib = preds[j] * w
-            out_sum = out_sum.at[(b, slice(None), *[slice(s, s + r) for s, r in zip(pos, roi)])].add(
-                contrib
+    if host_loop:
+        out_sum = weight_sum = None
+        for g in range(n_groups):
+            windows = _gather_group_jit(padded, groups[g], roi)
+            preds = predictor(windows, *predictor_args)
+            if out_sum is None:
+                out_sum = jnp.zeros((batch, preds.shape[1], *pspatial), jnp.float32)
+                weight_sum = jnp.zeros((batch, 1, *pspatial), jnp.float32)
+            out_sum, weight_sum = _accumulate_group_jit(
+                out_sum, weight_sum, preds, groups[g], gvalid[g], importance, roi
             )
-            weight_sum = weight_sum.at[
-                (b, slice(None), *[slice(s, s + r) for s, r in zip(pos, roi)])
-            ].add(w)
+        result = out_sum / jnp.maximum(weight_sum, 1e-8)
+    else:
+        runner = _get_runner(
+            predictor, padded.shape, padded.dtype, roi, n_groups, sw_batch_size, (mode,)
+        )
+        result = runner(padded, groups, gvalid, importance, *predictor_args)
 
-    result = out_sum / jnp.maximum(weight_sum, 1e-8)
     # Crop padding back off.
     slices = (slice(None), slice(None)) + tuple(slice(0, s) for s in spatial)
     return result[slices]

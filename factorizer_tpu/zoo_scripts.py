@@ -170,9 +170,7 @@ def ensemble_inference(
         w_shape = jax.ShapeDtypeStruct((sw_batch_size, in_ch, *roi_size), jnp.float32)
         applied = jax.jit(_apply).lower(var_shapes, w_shape).compile()
 
-    predictors = [
-        (lambda v: (lambda w: applied(v, w)))(v) for v in variables_list
-    ]
+    sw_predict = lambda w, v: applied(v, w)  # noqa: E731  (stable identity)
 
     items = load_decathlon_datalist(datalist_path, section=section, base_dir=data_dir)
     if not items:
@@ -182,13 +180,15 @@ def ensemble_inference(
         d = preprocessing(dict(item))
         image = jnp.asarray(d["image"])[None]
         probs = None
-        for fwd in predictors:
+        for variables in variables_list:
             logits = sliding_window_inference(
-                image, roi_size, fwd, sw_batch_size=sw_batch_size, overlap=overlap
+                image, roi_size, sw_predict, sw_batch_size=sw_batch_size,
+                overlap=overlap, predictor_args=(variables,),
+                host_loop=aot_compile,  # a Compiled executable cannot be traced
             )
             p = jax.nn.sigmoid(logits)
             probs = p if probs is None else probs + p
-        probs = np.asarray(probs)[0] / len(predictors)
+        probs = np.asarray(probs)[0] / len(variables_list)
         d["pred"] = (probs > 0.5).astype(np.uint8)
         d = T.Invertd(["pred"], orig_keys="image")(d)
         if dataset == "brats23":
