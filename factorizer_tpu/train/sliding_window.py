@@ -81,8 +81,10 @@ def _gather_group(padded: Array, jobs: Array, roi: tuple) -> Array:
     p = len(roi)
     in_ch = padded.shape[1]
 
+    zero = jnp.zeros((), jobs.dtype)  # dtype-matched (x64 mode changes ints)
+
     def gather_one(job):
-        start = (job[0], 0) + tuple(job[1 + i] for i in range(p))
+        start = (job[0], zero) + tuple(job[1 + i] for i in range(p))
         return jax.lax.dynamic_slice(padded, start, (1, in_ch, *roi))[0]
 
     return jax.vmap(gather_one)(jobs)
@@ -92,12 +94,13 @@ def _accumulate_group(out_sum, weight_sum, preds, jobs, gvalid, importance, roi:
     """Blend one group of predictions into the running sums (donated)."""
     p = len(roi)
     w = importance[None]
+    zero = jnp.zeros((), jobs.dtype)
     for j in range(jobs.shape[0]):  # windows may overlap: sequential updates
-        start_out = (jobs[j, 0], 0) + tuple(jobs[j, 1 + i] for i in range(p))
+        start_out = (jobs[j, 0], zero) + tuple(jobs[j, 1 + i] for i in range(p))
         contrib = preds[j].astype(jnp.float32) * (w * gvalid[j])
         cur = jax.lax.dynamic_slice(out_sum, start_out, (1, preds.shape[1], *roi))
         out_sum = jax.lax.dynamic_update_slice(out_sum, cur + contrib[None], start_out)
-        wstart = (start_out[0], 0, *start_out[2:])
+        wstart = (start_out[0], zero, *start_out[2:])
         curw = jax.lax.dynamic_slice(weight_sum, wstart, (1, 1, *roi))
         weight_sum = jax.lax.dynamic_update_slice(
             weight_sum, curw + (w * gvalid[j])[None], wstart
