@@ -63,6 +63,7 @@ class SegResNet(nn.Module):
     norm_groups: int = 8
     act: Any = "relu"
     dropout: float = 0.0
+    upsample_mode: str = "deconv"  # "deconv" (reference profiler) | "linear"
     data_format: str = "channels_first"
 
     @nn.compact
@@ -90,7 +91,13 @@ class SegResNet(nn.Module):
             level = len(self.blocks_down) - 1 - i
             width = f * (2 ** (level - 1))
             out = Conv(out.shape[-1], width, kernel_size=1, name=f"reduce{i}")(out)
-            out = _resize_linear(out, 2)
+            if self.upsample_mode == "deconv":
+                from ..layers.basic import ConvTranspose
+
+                out = ConvTranspose(width, width, kernel_size=2, stride=2,
+                                    name=f"up{i}")(out)
+            else:
+                out = _resize_linear(out, 2)
             out = out + skips[level - 1]
             for j in range(self.blocks_up[i]):
                 out = SegResBlock(width, self.norm_groups, self.act, name=f"dec{i}_{j}")(out)

@@ -5,7 +5,7 @@ reference's model zoo (reference: model_zoo/swinunetr_isles22/configs/
 train.yaml network_def; architecture after Hatamizadeh et al. 2022).
 Channels-last; window attention folds to ``(B*windows, window_voxels, C)``
 batches of matmuls (MXU-friendly), shifted windows use ``jnp.roll`` with a
-static attention mask computed at trace time, and patch merging is a pure
+device-computed attention mask, and patch merging is a pure
 reshape + Dense.
 """
 
@@ -64,24 +64,27 @@ def _relative_position_index(window: Sequence[int]) -> np.ndarray:
     return (rel * mult).sum(-1)
 
 
-def _shift_attention_mask(dims: Sequence[int], window: Sequence[int], shift: Sequence[int]) -> np.ndarray:
-    """Swin SW-MSA mask: blocks attention across rolled-in boundaries (static)."""
-    img = np.zeros(dims, np.int32)
-    cnt = 0
-    slices = []
-    for w, s in zip(window, shift):
-        slices.append([slice(0, -w), slice(-w, -s), slice(-s, None)])
-    for s0 in slices[0]:
-        for s1 in slices[1]:
-            for s2 in slices[2]:
-                img[s0, s1, s2] = cnt
-                cnt += 1
+def _shift_attention_mask(dims: Sequence[int], window: Sequence[int], shift: Sequence[int]) -> Array:
+    """Swin SW-MSA mask: blocks attention across rolled-in boundaries.
+
+    Computed as a device-side jnp expression (NOT a numpy constant: at
+    128^3 the (nW, N, N) mask is hundreds of MB, which would be baked into
+    the HLO as a literal and blow up program size/compile transport).
+    """
+
+    def region(d: int, w: int, s: int) -> Array:
+        x = jnp.arange(d)
+        return (x >= (d - w)).astype(jnp.int32) + (x >= (d - s)).astype(jnp.int32)
+
+    r = [region(d, w, s) for d, w, s in zip(dims, window, shift)]
+    img = r[0][:, None, None] * 9 + r[1][None, :, None] * 3 + r[2][None, None, :]
     wins = img.reshape(
         dims[0] // window[0], window[0], dims[1] // window[1], window[1],
         dims[2] // window[2], window[2],
-    ).transpose(0, 2, 4, 1, 3, 5).reshape(-1, int(np.prod(window)))
+    )
+    wins = jnp.transpose(wins, (0, 2, 4, 1, 3, 5)).reshape(-1, int(np.prod(window)))
     mask = wins[:, None, :] != wins[:, :, None]
-    return np.where(mask, -1e9, 0.0).astype(np.float32)  # (nW, N, N)
+    return jnp.where(mask, -1e9, 0.0).astype(jnp.float32)  # (nW, N, N)
 
 
 class WindowAttention(nn.Module):
@@ -140,25 +143,33 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        # x: (B, D, H, W, C); dims must be divisible by the window size
+        # x: (B, D, H, W, C).  Dims that are not multiples of the window are
+        # zero-padded for the attention and cropped after (MONAI behavior:
+        # swin_unetr.py pads in forward_part1 without masking the pad).
         dims = x.shape[1:4]
         window = tuple(min(w, d) for w, d in zip(self.window, dims))
         shift = tuple(0 if w >= d else s for w, s, d in zip(self.window, self.shift, dims))
 
         shortcut = x
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        pdims = tuple(-(-d // w) * w for d, w in zip(dims, window))
+        pads = [(0, 0)] + [(0, pd - d) for pd, d in zip(pdims, dims)] + [(0, 0)]
+        if pdims != dims:
+            h = jnp.pad(h, pads)
         if any(shift):
             h = jnp.roll(h, [-s for s in shift], axis=(1, 2, 3))
-            mask = jnp.asarray(_shift_attention_mask(dims, window, shift))
+            mask = _shift_attention_mask(pdims, window, shift)
         else:
             mask = None
         wins = _window_partition(h, window)
         wins = WindowAttention(self.dim, self.num_heads, window, dtype=self.dtype, name="attn")(
             wins, mask
         )
-        h = _window_reverse(wins, window, dims)
+        h = _window_reverse(wins, window, pdims)
         if any(shift):
             h = jnp.roll(h, shift, axis=(1, 2, 3))
+        if pdims != dims:
+            h = h[:, : dims[0], : dims[1], : dims[2]]
         x = shortcut + h
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -238,8 +249,11 @@ class SwinUNETR(nn.Module):
         # patch embedding (2x downsample)
         h = Conv(self.in_channels, fs, kernel_size=2, stride=2, dtype=self.dtype, name="patch_embed")(x)
 
-        # Swin stages; keep pre-merge features as skips
-        skips = []
+        # Swin stages.  Matching MONAI's SwinTransformer: EVERY stage ends
+        # with a PatchMerging (4 merges total, bottleneck width 16*fs), and
+        # the hidden states kept as skips are [x0 (pre-stage), x1..x4
+        # (post-merge)] (monai swin_unetr.py layers1..layers4).
+        skips = [h]
         dim = fs
         for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for b in range(depth):
@@ -248,29 +262,32 @@ class SwinUNETR(nn.Module):
                     dim, heads, window, blk_shift, self.mlp_ratio, dtype=self.dtype,
                     name=f"stage{s}_block{b}",
                 )(h, deterministic=not train)
+            h = PatchMerging(dim, dtype=self.dtype, name=f"merge{s}")(h)
+            dim *= 2
             skips.append(h)
-            if s < len(self.depths) - 1:
-                h = PatchMerging(dim, dtype=self.dtype, name=f"merge{s}")(h)
-                dim *= 2
 
-        # UNETR-style decoder
-        enc0 = _ConvBlock(self.in_channels, fs, dtype=self.dtype, name="encoder0")(x)
-        enc1 = _ConvBlock(fs, fs, dtype=self.dtype, name="encoder1")(skips[0])
-        enc2 = _ConvBlock(2 * fs, 2 * fs, dtype=self.dtype, name="encoder2")(skips[1])
-        enc3 = _ConvBlock(4 * fs, 4 * fs, dtype=self.dtype, name="encoder3")(skips[2])
-        bottleneck = _ConvBlock(8 * fs, 8 * fs, dtype=self.dtype, name="bottleneck")(skips[3])
+        # UNETR-style decoder (monai SwinUNETR encoder1..encoder10 +
+        # decoder5..decoder1: note x3 feeds decoder5 RAW, without a conv
+        # block of its own).
+        x0, x1, x2, x3, x4 = skips
+        enc1 = _ConvBlock(self.in_channels, fs, dtype=self.dtype, name="encoder1")(x)
+        enc2 = _ConvBlock(fs, fs, dtype=self.dtype, name="encoder2")(x0)
+        enc3 = _ConvBlock(2 * fs, 2 * fs, dtype=self.dtype, name="encoder3")(x1)
+        enc4 = _ConvBlock(4 * fs, 4 * fs, dtype=self.dtype, name="encoder4")(x2)
+        enc10 = _ConvBlock(16 * fs, 16 * fs, dtype=self.dtype, name="encoder10")(x4)
 
         def up(x, skip, cin, cout, name):
             x = ConvTranspose(cin, cout, kernel_size=2, stride=2, dtype=self.dtype, name=f"{name}_up")(x)
             x = jnp.concatenate([x, skip], axis=-1)
             return _ConvBlock(2 * cout, cout, dtype=self.dtype, name=f"{name}_block")(x)
 
-        d3 = up(bottleneck, enc3, 8 * fs, 4 * fs, "dec3")
-        d2 = up(d3, enc2, 4 * fs, 2 * fs, "dec2")
-        d1 = up(d2, enc1, 2 * fs, fs, "dec1")
-        d0 = up(d1, enc0, fs, fs, "dec0")
+        d5 = up(enc10, x3, 16 * fs, 8 * fs, "decoder5")
+        d4 = up(d5, enc4, 8 * fs, 4 * fs, "decoder4")
+        d3 = up(d4, enc3, 4 * fs, 2 * fs, "decoder3")
+        d2 = up(d3, enc2, 2 * fs, fs, "decoder2")
+        d1 = up(d2, enc1, fs, fs, "decoder1")
 
-        out = Conv(fs, self.out_channels, kernel_size=1, name="head")(d0)
+        out = Conv(fs, self.out_channels, kernel_size=1, name="head")(d1)
         if self.data_format == "channels_first":
             out = jnp.moveaxis(out, -1, 1)
         return out

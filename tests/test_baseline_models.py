@@ -99,3 +99,49 @@ class TestWindowAttentionUnits:
         assert mask.shape == (8, 64, 64)
         assert (mask <= 0).all()
         assert (mask < 0).any()  # some pairs are actually masked
+
+
+class TestReferenceParamParity:
+    """Parameter counts must match the reference profiler configs to <1%
+    (reference: tests/profiler.py:95-153 + tests/profiler.json) so the
+    nnunet/segresnet/swinunetr bundles benchmark the same networks."""
+
+    def _count(self, m, shape):
+        vs = jax.eval_shape(m.init, jax.random.key(0), jnp.zeros(shape))
+        import numpy as np
+
+        return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(vs["params"]))
+
+    def test_segresnet_matches_reference(self):
+        m = ftx.SegResNet(in_channels=2, out_channels=1, init_filters=32)
+        n = self._count(m, (1, 2, 32, 32, 32))
+        assert abs(n - 18_970_000) / 18_970_000 < 0.01, n
+
+    def test_dynunet_matches_reference(self):
+        m = ftx.DynUNet(
+            in_channels=2, out_channels=1, kernel_size=(3,) * 5,
+            strides=(1, 2, 2, 2, 2), filters=(32, 64, 128, 256, 512),
+        )
+        n = self._count(m, (1, 2, 32, 32, 32))
+        assert abs(n - 22_570_000) / 22_570_000 < 0.01, n
+
+    def test_swinunetr_matches_reference(self):
+        m = ftx.SwinUNETR(
+            in_channels=2, out_channels=1, img_size=(64, 64, 64),
+            feature_size=24, window_size=7,
+        )
+        n = self._count(m, (1, 2, 64, 64, 64))
+        assert abs(n - 15_700_000) / 15_700_000 < 0.01, n
+
+    def test_factorizer_matches_reference(self):
+        # The flagship profiler config (the bottleneck pos-embed makes the
+        # count spatial-size dependent); eval_shape only, nothing computes.
+        m = ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=(128, 128, 128),
+            encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+            strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+            reshape=(ftx.SWMatricize, {"head_dim": 8, "patch_size": 8}),
+            rank=1, num_iters=5, init_method="uniform", solver="hals", mlp_ratio=3,
+        )
+        n = self._count(m, (1, 2, 128, 128, 128))
+        assert abs(n - 6_730_000) / 6_730_000 < 0.01, n

@@ -120,7 +120,10 @@ def segresnet_net(ds: dict) -> dict:
         "init_filters": 32,
         "blocks_down": [1, 2, 2, 4],
         "blocks_up": [1, 1, 1],
-        "dropout": 0.2,
+        # reference bundle has no dropout / upsample override
+        # (segresnet_brats23/configs/train.yaml:39-46); MONAI's default
+        # upsample is the non-trainable interpolation.
+        "upsample_mode": "linear",
     }
 
 
@@ -133,8 +136,10 @@ def nnunet_net(ds: dict) -> dict:
         "spatial_dims": nd,
         "kernel_size": [3, 3, 3, 3, 3],
         "strides": [1, 2, 2, 2, 2],
-        "deep_supervision": True,
-        "deep_supr_num": 2,
+        # pinned to the reference bundle network_def
+        # (nnunet_brats23/configs/train.yaml:39-50): explicit filters, no
+        # deep supervision, res_block false.
+        "filters": [32, 64, 128, 256, 512],
     }
 
 
@@ -145,7 +150,7 @@ def swinunetr_net(ds: dict) -> dict:
         "in_channels": ds["in_channels"],
         "out_channels": ds["out_channels"],
         "feature_size": 24,
-        "window_size": 4,
+        "window_size": 7,  # reference SwinUNETR default window
     }
 
 

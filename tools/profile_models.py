@@ -51,12 +51,16 @@ def build_models(spatial: int, dtype):
             norm=ftx.InstanceNorm, groups=-1, ratio=1, kernel_size=(3, 3, 3),
             num_iters=1, mlp_ratio=3,
         ),
+        # Baselines pinned to the reference profiler configs
+        # (reference: tests/profiler.py:95-153) so param counts are
+        # apples-to-apples: SegResNet 18.97M, DynUNet 22.57M, SwinUNETR 15.7M.
         "segresnet": ftx.SegResNet(in_channels=2, out_channels=1, init_filters=32),
         "dynunet": ftx.DynUNet(
-            in_channels=2, out_channels=1, kernel_size=(3,) * 5, strides=(1, 2, 2, 2, 2)
+            in_channels=2, out_channels=1, kernel_size=(3,) * 5,
+            strides=(1, 2, 2, 2, 2), filters=(32, 64, 128, 256, 512),
         ),
         "swinunetr": ftx.SwinUNETR(
-            in_channels=2, out_channels=1, img_size=sp3, feature_size=24, window_size=4
+            in_channels=2, out_channels=1, img_size=sp3, feature_size=24, window_size=7
         ),
     }
     return models
