@@ -1,0 +1,66 @@
+"""End-to-end training convergence on a synthetic structure task.
+
+The quality-evidence gate the reference lacks in-repo: a Factorizer must
+learn a simple geometric segmentation (bright spheres in noise) end-to-end
+through the real train step (DiceCE + AdamW + warmup-cosine) and exceed a
+Dice threshold on held-out cases.  Catches silent learning regressions that
+shape/finiteness tests cannot (mis-wired gradients, broken truncation,
+dead mixing paths)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import factorizer_tpu as ftx
+from factorizer_tpu.train.metrics import dice_metric
+from factorizer_tpu.train.schedules import make_adamw
+from factorizer_tpu.train.trainer import create_train_state, make_train_step
+
+SP = (16, 16, 16)
+
+
+def _make_case(r: np.random.Generator):
+    img = r.normal(0, 0.3, (1, *SP)).astype(np.float32)
+    c = r.integers(5, 11, 3)
+    rad = r.integers(3, 6)
+    zz, yy, xx = np.ogrid[: SP[0], : SP[1], : SP[2]]
+    mask = ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2) <= rad**2
+    img[0][mask] += 1.0
+    return img, mask[None].astype(np.float32)
+
+
+def test_factorizer_learns_synthetic_spheres():
+    rng = np.random.default_rng(0)
+    model = ftx.Factorizer(
+        in_channels=1, out_channels=1, spatial_size=SP,
+        encoder_depth=(1, 1), encoder_width=(8, 16), strides=(1, 2),
+        decoder_depth=(1,),
+        reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+        rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+    )
+    tx = make_adamw(lr=3e-3, weight_decay=1e-2, warmup_steps=10, total_steps=100)
+    x0, _ = _make_case(rng)
+    state = create_train_state(
+        model, tx, jnp.asarray(x0[None]), jax.random.key(0), train_kwargs={"train": False}
+    )
+    step = make_train_step(model)
+
+    key = jax.random.key(1)
+    first_loss = None
+    for i in range(100):
+        xs, ys = zip(*[_make_case(rng) for _ in range(4)])
+        batch = {"image": jnp.asarray(np.stack(xs)), "label": jnp.asarray(np.stack(ys))}
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < 0.25 * first_loss  # actually trained
+
+    dices = []
+    for _ in range(8):
+        xi, yi = _make_case(rng)
+        logits = model.apply(state.variables(), jnp.asarray(xi[None]))
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        dices.append(float(dice_metric(pred, jnp.asarray(yi[None]))[0, 0]))
+    mean_dice = float(np.mean(dices))
+    assert mean_dice > 0.85, mean_dice  # measured ~0.97 at 100 steps

@@ -151,3 +151,80 @@ def test_kmeans_parity():
     # Same seeded init indices -> same clustering trajectory.
     np.testing.assert_allclose(np.asarray(u), u_ref.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v), v_ref.numpy(), atol=1e-4)
+
+
+class TestFlagshipScaleParity:
+    """Import parity at the flagship structure: 5 stages (widths 32..512),
+    4 shifted windows, full decoder — the BASELINE.json north star at
+    CI-feasible 64^3 (patch/shifts scaled 8->4; structure identical to
+    reference tests/profiler.py:77-94)."""
+
+    SP = (64, 64, 64)
+    KW = dict(
+        in_channels=2, out_channels=3, spatial_size=SP,
+        encoder_depth=(1, 1, 1, 1, 1), encoder_width=(32, 64, 128, 256, 512),
+        strides=(1, 2, 2, 2, 2), decoder_depth=(1, 1, 1, 1), rank=1,
+        num_iters=5, solver="hals", mlp_ratio=3,
+    )
+
+    @pytest.fixture(scope="class")
+    def flagship_pair(self):
+        from factorizer_tpu.utils.torch_import import import_torch_checkpoint
+
+        ref = ft_ref.Factorizer(
+            norm=ft_ref.LayerNorm,
+            reshape=(ft_ref.SWMatricize,
+                     {"head_dim": 8, "patch_size": 4, "shifts": [None, 1, 2, 3]}),
+            factorize=ft_ref.NMF, init="uniform", **self.KW,
+        ).double().eval()
+        ours = ftx.Factorizer(
+            reshape=(ftx.SWMatricize,
+                     {"head_dim": 8, "patch_size": 4, "shifts": [None, 1, 2, 3]}),
+            init_method="uniform", **self.KW,
+        )
+        variables = import_torch_checkpoint(ref.state_dict())
+        rng = np.random.default_rng(0)
+        x = rng.random((1, 2, *self.SP))
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x)).numpy()
+        y64 = np.asarray(jax.jit(ours.apply)(variables, jnp.asarray(x)))
+        return ours, variables, x, y_ref, y64
+
+    def test_imported_weights_f64_output_parity(self, flagship_pair):
+        _, _, _, y_ref, y64 = flagship_pair
+        assert y64.shape == y_ref.shape
+        np.testing.assert_allclose(y64, y_ref, atol=1e-12)
+
+    def test_f32_within_bound_of_f64(self, flagship_pair):
+        """Same-framework f32 must track f64 (catches silent precision
+        regressions like low-precision MXU operand truncation)."""
+        ours, variables, x, y_ref, y64 = flagship_pair
+        v32 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32), variables)
+        y32 = np.asarray(jax.jit(ours.apply)(v32, jnp.asarray(x, jnp.float32)))
+        scale = np.abs(y64).max()
+        # measured 2.9e-7 relative; 30x margin
+        assert np.abs(y32 - y64).max() / scale < 1e-5
+
+
+def test_deconver_flagship_structure_import_parity():
+    """Deconver at the 5-stage flagship structure (reference profiler cfg
+    tests/profiler.py:55-73, groups=-1/ratio=1/k=3), f64 import parity."""
+    from factorizer_tpu.utils.torch_import import import_torch_checkpoint
+
+    kw = dict(
+        in_channels=2, out_channels=3, spatial_dims=3,
+        encoder_depth=(1, 1, 1, 1, 1), encoder_width=(32, 64, 128, 256, 512),
+        strides=(1, 2, 2, 2, 2), decoder_depth=(1, 1, 1, 1),
+        groups=-1, ratio=1, kernel_size=(3, 3, 3), num_iters=1, mlp_ratio=3,
+    )
+    ref = ft_ref.Deconver(norm=torch.nn.InstanceNorm3d, act=torch.nn.ReLU, **kw)
+    ref = ref.double().eval()
+    ours = ftx.Deconver(norm=ftx.InstanceNorm, act="relu", **kw)
+    variables = import_torch_checkpoint(ref.state_dict())
+
+    rng = np.random.default_rng(2)
+    x = rng.random((1, 2, 32, 32, 32))
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y = np.asarray(jax.jit(ours.apply)(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-10)
