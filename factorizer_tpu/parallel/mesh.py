@@ -76,10 +76,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (no-op on a single process)."""
-    if jax.process_count() > 1 or kwargs:
-        with contextlib.suppress(RuntimeError):
-            jax.distributed.initialize(**kwargs)
+    """Multi-host init (no-op on a single process).
+
+    Must run before any other JAX call: touching the backend first (even
+    ``jax.process_count()``) would initialize single-process and make
+    ``jax.distributed.initialize`` a silent no-op.
+    """
+    if kwargs:
+        jax.distributed.initialize(**kwargs)
+        return
+    # Auto mode (TPU pod / cluster env vars): harmless if single-process.
+    with contextlib.suppress(RuntimeError, ValueError):
+        jax.distributed.initialize()
 
 
 def process_is_primary() -> bool:
