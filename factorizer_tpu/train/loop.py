@@ -153,6 +153,7 @@ class SegmentationTrainer:
 
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
+        logged_images = False
         for batch in self.val_loader:
             images = jnp.asarray(batch["image"])
             labels = np.asarray(batch["label"])
@@ -168,6 +169,16 @@ class SegmentationTrainer:
             dice.update(jnp.asarray(preds), jnp.asarray(labels))
             if hd is not None:
                 hd.update(preds, labels)
+            if not logged_images and self._tb is not None:
+                # TensorBoardImageHandler analogue (reference
+                # train.yaml:296-300): one center-slice panel per validation.
+                from .observability import log_validation_images
+
+                log_validation_images(
+                    self._tb, np.asarray(images), labels, preds,
+                    step=int(self.state.step),
+                )
+                logged_images = True
         out = {"mean_dice": dice.compute()}
         per = dice.compute_per_channel()
         for c, v in enumerate(per):

@@ -118,6 +118,17 @@ def evaluate_bundle(
     if case_metrics_path:
         Path(case_metrics_path).parent.mkdir(parents=True, exist_ok=True)
         Path(case_metrics_path).write_text(json.dumps({"cases": cases, **metrics}, indent=2))
+        # MetricsSaver-style CSV reports next to the JSON (reference
+        # evaluate.yaml:49-54): <metric>_raw.csv + <metric>_summary.csv.
+        from .train.observability import write_metrics_reports
+
+        details = {"mean_dice": np.concatenate(dices, axis=0)} if dices else {}
+        if hds:
+            details["hd95"] = np.asarray(hds, dtype=np.float64)
+        case_ids = [c.get("id", f"case{i}") for i, c in enumerate(cases)]
+        write_metrics_reports(
+            Path(case_metrics_path).parent / "metrics", case_ids, details, metrics
+        )
     logger.info("evaluation: %s", metrics)
     print(json.dumps(metrics))
     return metrics

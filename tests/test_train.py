@@ -239,3 +239,37 @@ def test_training_is_deterministic():
     p1, p2 = run(), run()
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestObservability:
+    def test_validation_image_panels_written(self, tmp_path):
+        """The TensorBoardImageHandler analogue writes image/label/pred
+        panels (reference train.yaml:296-300)."""
+        pytest.importorskip("tensorboardX")
+        from tensorboardX import SummaryWriter
+
+        from factorizer_tpu.train.observability import log_validation_images
+
+        w = SummaryWriter(str(tmp_path))
+        imgs = np.random.rand(2, 2, 8, 8, 8).astype(np.float32)
+        labels = (np.random.rand(2, 1, 8, 8, 8) > 0.5).astype(np.uint8)
+        preds = (np.random.rand(2, 1, 8, 8, 8) > 0.5).astype(np.uint8)
+        log_validation_images(w, imgs, labels, preds, step=3)
+        w.close()
+        events = list(tmp_path.glob("events.out.tfevents.*"))
+        assert events and events[0].stat().st_size > 500
+
+    def test_write_metrics_reports_columns(self, tmp_path):
+        from factorizer_tpu.train.observability import write_metrics_reports
+
+        vals = np.array([[0.9, 0.8, np.nan], [0.7, 0.6, 0.5]])
+        files = write_metrics_reports(
+            tmp_path, ["caseA", "caseB"], {"dice": vals}, {"mean_dice": 0.7}
+        )
+        raw = (tmp_path / "dice_raw.csv").read_text().splitlines()
+        assert raw[0] == "filename,class0,class1,class2,mean"
+        assert raw[1].split(",")[0] == "caseA"
+        summ = (tmp_path / "dice_summary.csv").read_text().splitlines()
+        assert summ[0] == "class,mean,median,max,min,90percentile,std"
+        assert len(summ) == 5  # header + 3 classes + overall mean row
+        assert len(files) == 3

@@ -123,3 +123,8 @@ def test_bundle_synthetic_end_to_end(tmp_path):
     assert np.isfinite(trainer.history[-1]["loss"])
     assert "mean_dice" in trainer.history[-1]  # validation ran at epoch 2
     assert trainer.ckpt.latest_step() == 2
+    # validation image panels were written to TensorBoard (train.yaml:296-300
+    # analogue): the event file must exist and carry image summaries
+    events = list((tmp_path / "out").glob("events.out.tfevents.*"))
+    if trainer._tb is not None:  # tensorboardX present in this env
+        assert events and events[0].stat().st_size > 500

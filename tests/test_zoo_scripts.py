@@ -105,6 +105,14 @@ def test_evaluate_bundle(ckpt_and_data):
     preds = list((tmp / "preds").glob("*.nii.gz"))
     assert len(preds) == 2
     assert load_nifti(preds[0]).data.shape == SP
+    # MetricsSaver-style CSVs (reference evaluate.yaml:49-54)
+    raw = (tmp / "metrics" / "mean_dice_raw.csv").read_text().splitlines()
+    assert raw[0].startswith("filename,class0")
+    assert raw[0].endswith(",mean") and len(raw) == 3  # header + 2 cases
+    summary = (tmp / "metrics" / "mean_dice_summary.csv").read_text().splitlines()
+    assert summary[0] == "class,mean,median,max,min,90percentile,std"
+    assert (tmp / "metrics" / "hd95_raw.csv").exists()
+    assert (tmp / "metrics" / "metrics.csv").exists()
 
 
 def test_ensemble_inference(ckpt_and_data):
