@@ -81,7 +81,11 @@ def make_batched_partitioned(
             solve = fresh_factors(rank)
             maps.append(" ".join(solve))
         need_replication += solve
-    out_map = maps[0]
+    # The result shares only the batch factors (its non-batch dims may have
+    # different sizes than the input's, e.g. lane-packed kernel outputs).
+    out_solve = fresh_factors(operand_ranks[0] - n_batch_dims)
+    need_replication += out_solve
+    out_map = " ".join(batch_factors + out_solve)
     rule = ", ".join(maps) + " -> " + out_map
 
     wrapped = custom_partitioning(fn)

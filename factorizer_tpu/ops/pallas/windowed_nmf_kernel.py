@@ -130,32 +130,84 @@ def _solve_field(x4: Array, u0b: Array, v0p: Array, mask: Array, *, patch: int,
     return u[None, :, None, :] * v
 
 
+
+def _pick_pack(c: int, g3: int, s3: int) -> int:
+    """Windows to pack into the lane dim: largest power of two with
+    ``pack*C <= 128`` (full lanes) that divides the window count and keeps
+    the packed chunk sublane-aligned (``S3/pack`` a multiple of 8 — Mosaic
+    cannot concat vector slices at non-zero sublane offsets)."""
+    pack = 1
+    while (
+        c * pack * 2 <= 128
+        and g3 % (pack * 2) == 0
+        and (s3 // (pack * 2)) % 8 == 0
+    ):
+        pack *= 2
+    return pack
+
+
+def _pack_lanes(x: Array, pack: int) -> Array:
+    """(p, p, S3, C) -> (p, p, S3/pack, pack*C): side-by-side window groups.
+
+    At stage-0 scale C=32 uses a quarter of the 128 VPU lanes; packing
+    ``pack`` independent windows into the lane dim makes every elementwise
+    pass (and the head-sum matmul) run at full lane occupancy.  The field
+    math is unchanged — it just sees ``pack*g3/pack`` windows of ``pack*C``
+    channels with a block-diagonal mask extended accordingly.
+    """
+    if pack == 1:
+        return x
+    s3 = x.shape[-2]
+    chunk = s3 // pack
+    return jnp.concatenate(
+        [x[..., k * chunk : (k + 1) * chunk, :] for k in range(pack)], axis=-1
+    )
+
+
+def _unpack_lanes_xla(yp: Array, pack: int, c: int) -> Array:
+    """Undo lane packing OUTSIDE the kernel: (..., S3/pack, pack*C) ->
+    (..., S3, C).  Mosaic cannot relayout lane-offset slices for a sublane
+    concat, so kernels emit the packed layout and XLA (which fuses this into
+    the adjacent roll/average pass) unpacks.
+    """
+    if pack == 1:
+        return yp
+    *lead, s3p, cp = yp.shape
+    y = yp.reshape(*lead, s3p, pack, cp // pack)
+    y = jnp.moveaxis(y, -2, -3)
+    return y.reshape(*lead, s3p * pack, cp // pack)
+
 def _kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
             solver: str, num_iters: int, eps: float,
-            precision=jax.lax.Precision.HIGHEST):
-    # Block: (1, p, p, S3, C) — a full row of g3 = S3/p windows.
+            precision=jax.lax.Precision.HIGHEST, pack: int = 1):
+    # Block: (1, p, p, S3, C) — a full row of g3 = S3/p windows, with
+    # `pack` windows packed into the lane dim (see _pack_lanes).
     p = patch
     _, _, _, s3, c = x_ref.shape
-    g3 = s3 // p
-    x = x_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
+    s3p, cp = s3 // pack, c * pack
+    x = _pack_lanes(x_ref[0].astype(jnp.float32), pack)
     y = _solve_field(
-        x, u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
+        x.reshape(p * p, s3p // p, p, cp),
+        u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
         mask_ref[...].astype(jnp.float32),
         patch=patch, solver=solver, num_iters=num_iters, eps=eps,
         precision=precision,
     )
-    y_ref[0] = y.reshape(p, p, s3, c).astype(y_ref.dtype)
+    # Output stays lane-packed; the caller unpacks in XLA (see
+    # _unpack_lanes_xla — Mosaic cannot do the reverse relayout).
+    y_ref[0] = y.reshape(p, p, s3p, cp).astype(y_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
                 solver: str, num_iters: int, num_grad_steps, eps: float,
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST, pack: int = 1):
     """VJP of the block-local solve, computed entirely in VMEM."""
     p = patch
     _, _, _, s3, c = x_ref.shape
-    g3 = s3 // p
-    x = x_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
-    g = g_ref[0].astype(jnp.float32).reshape(p * p, g3, p, c)
+    s3p, cp = s3 // pack, c * pack
+    g3 = s3p // p
+    x = _pack_lanes(x_ref[0].astype(jnp.float32), pack).reshape(p * p, g3, p, cp)
+    g = _pack_lanes(g_ref[0].astype(jnp.float32), pack).reshape(p * p, g3, p, cp)
     u0b = u0b_ref[...].astype(jnp.float32)
     v0p = v0p_ref[...].astype(jnp.float32)
     mask = mask_ref[...].astype(jnp.float32)
@@ -194,7 +246,7 @@ def _bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
 
     _, vjp = jax.vjp(f, x)
     (dx,) = vjp(g)
-    dx_ref[0] = dx.reshape(p, p, s3, c).astype(dx_ref.dtype)
+    dx_ref[0] = dx.reshape(p, p, s3p, cp).astype(dx_ref.dtype)
 
 
 def _field_iterates(x4, u0b, v0p, mask, *, patch, solver, num_iters, eps,
@@ -263,7 +315,7 @@ def _roll_last_spatial(t: Array, s3: int, size: int) -> Array:
 
 def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
                   shift3: int, solver: str, num_iters: int, eps: float,
-                  precision=jax.lax.Precision.HIGHEST):
+                  precision=jax.lax.Precision.HIGHEST, pack: int = 1):
     """Forward solve on a pre-shifted (via Element offsets) row of windows.
 
     The block was loaded from the wrap-padded volume at element offset
@@ -274,28 +326,32 @@ def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
     """
     p = patch
     _, _, _, s3, c = x_ref.shape
-    g3 = s3 // p
+    s3p, cp = s3 // pack, c * pack
     x = _roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3)
+    x = _pack_lanes(x, pack)
     y = _solve_field(
-        x.reshape(p * p, g3, p, c),
+        x.reshape(p * p, s3p // p, p, cp),
         u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
         mask_ref[...].astype(jnp.float32),
         patch=patch, solver=solver, num_iters=num_iters, eps=eps,
         precision=precision,
-    ).reshape(p, p, s3, c)
-    y_ref[0] = _roll_last_spatial(y, -shift3, s3).astype(y_ref.dtype)
+    ).reshape(p, p, s3p, cp)
+    # Output stays lane-packed AND dim-3-rolled; the caller unpacks and
+    # rolls back in XLA, fused into the shift-averaging add.
+    y_ref[0] = y.astype(y_ref.dtype)
 
 
 def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
                       shift3: int, solver: str, num_iters: int,
                       num_grad_steps, eps: float,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST, pack: int = 1):
     """VJP of the shifted block-local solve, entirely in VMEM."""
     p = patch
     _, _, _, s3, c = x_ref.shape
-    g3 = s3 // p
-    x = _roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3)
-    g = _roll_last_spatial(g_ref[0].astype(jnp.float32), shift3, s3)
+    s3p, cp = s3 // pack, c * pack
+    g3 = s3p // p
+    x = _pack_lanes(_roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3), pack)
+    g = _pack_lanes(_roll_last_spatial(g_ref[0].astype(jnp.float32), shift3, s3), pack)
     u0b = u0b_ref[...].astype(jnp.float32)
     v0p = v0p_ref[...].astype(jnp.float32)
     mask = mask_ref[...].astype(jnp.float32)
@@ -304,7 +360,7 @@ def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch
     k = num_iters - num_grad
 
     def f(x_in):
-        x4 = x_in.reshape(p * p, g3, p, c)
+        x4 = x_in.reshape(p * p, g3, p, cp)
         if k >= num_iters:
             x4 = jax.lax.stop_gradient(x4)
             y = _solve_field(x4, u0b, v0p, mask, patch=patch, solver=solver,
@@ -321,11 +377,11 @@ def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch
         else:
             y = _solve_field(x4, u0b, v0p, mask, patch=patch, solver=solver,
                              num_iters=num_iters, eps=eps, precision=precision)
-        return y.reshape(p, p, s3, c)
+        return y.reshape(p, p, s3p, cp)
 
     _, vjp = jax.vjp(f, x)
     (dx,) = vjp(g)
-    dx_ref[0] = _roll_last_spatial(dx, -shift3, s3).astype(dx_ref.dtype)
+    dx_ref[0] = dx.reshape(p, p, s3p, cp).astype(dx_ref.dtype)
 
 
 def _pad12(x: Array, p: int) -> Array:
@@ -334,9 +390,11 @@ def _pad12(x: Array, p: int) -> Array:
     return jnp.concatenate([x[:, :, -p:], x], axis=2)
 
 
-def _shifted_specs(patch: int, s1: int, s2: int, s3: int, c: int, shift: tuple[int, int, int]):
+def _shifted_specs(patch: int, s1: int, s2: int, s3: int, c: int,
+                   shift: tuple[int, int, int], pack: int = 1):
     """Specs for one shifted pass: Element-indexed reads from the padded volume."""
     p = patch
+    cp = c * pack
     sh1, sh2, _ = shift
     in_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(p), pl.Element(p), pl.Element(s3), pl.Element(c)),
@@ -344,12 +402,13 @@ def _shifted_specs(patch: int, s1: int, s2: int, s3: int, c: int, shift: tuple[i
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, p, p, s3, c), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, p, p, s3 // pack, cp), lambda b, i, j: (b, i, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     const_specs = [
-        pl.BlockSpec((1, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((p * p, p), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cp, cp), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     return in_spec, out_spec, const_specs
 
@@ -367,7 +426,8 @@ def _norm_shift(shift, patch: int) -> tuple[int, int, int]:
 
 @functools.lru_cache(maxsize=None)
 def _shift_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
-                   num_iters: int, eps: float, precision, partitioned: bool):
+                   num_iters: int, eps: float, precision, partitioned: bool,
+                   pack: int = 1):
     """One shifted forward pass ``(xp, u0b, v0p, mask) -> y`` for this config.
 
     ``partitioned=True`` wraps it with a custom_partitioning rule so GSPMD
@@ -379,13 +439,15 @@ def _shift_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
     def local(xp, u0b, v0p, mask):
         B, s1p, s2p, s3, c = xp.shape
         s1, s2 = s1p - p, s2p - p
-        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
+        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh, pack)
         return pl.pallas_call(
             functools.partial(
                 _shift_kernel, patch=p, shift3=sh[2], solver=solver,
-                num_iters=num_iters, eps=eps, precision=precision,
+                num_iters=num_iters, eps=eps, precision=precision, pack=pack,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3, c), xp.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, s1, s2, s3 // pack, c * pack), xp.dtype
+            ),
             grid=(B, s1 // p, s2 // p),
             in_specs=[in_spec, *const_specs],
             out_specs=out_spec,
@@ -411,7 +473,9 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
     from .partitioning import multi_device
 
     p = patch
-    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, x.shape[-1])
+    c = x.shape[-1]
+    pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
     xp = _pad12(x, p)
     part = multi_device()
 
@@ -419,12 +483,13 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
     for shift in shifts:
         sh = _norm_shift(shift, p)
         fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
-                            _pick_precision(x.dtype), part)
-        ys = fn(xp, u0b, v0p, mask)
-        # Undo the dims-1/2 shift (dim 3 was unrolled in-kernel).  XLA fuses
-        # these gather-style rolls into the averaging add.
-        if sh[0] or sh[1]:
-            ys = jnp.roll(ys, (-sh[0], -sh[1]), (1, 2))
+                            _pick_precision(x.dtype), part, pack)
+        ys = _unpack_lanes_xla(fn(xp, u0b, v0p, mask), pack, c)
+        # Undo the shift (the kernel output is in rolled coordinates in all
+        # three dims).  XLA fuses these gather-style rolls and the unpack
+        # into the averaging add.
+        if any(sh):
+            ys = jnp.roll(ys, tuple(-v for v in sh), (1, 2, 3))
         acc = ys if acc is None else acc + ys
     return acc / len(shifts)
 
@@ -432,21 +497,23 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
 @functools.lru_cache(maxsize=None)
 def _shift_bwd_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
                        num_iters: int, num_grad_steps, eps: float, precision,
-                       partitioned: bool):
+                       partitioned: bool, pack: int = 1):
     """One shifted VJP pass ``(xp, gp, u0b, v0p, mask) -> dx`` for this config."""
     p = patch
 
     def local(xp, gp, u0b, v0p, mask):
         B, s1p, s2p, s3, c = xp.shape
         s1, s2 = s1p - p, s2p - p
-        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh)
+        in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh, pack)
         return pl.pallas_call(
             functools.partial(
                 _shift_bwd_kernel, patch=p, shift3=sh[2], solver=solver,
                 num_iters=num_iters, num_grad_steps=num_grad_steps, eps=eps,
-                precision=precision,
+                precision=precision, pack=pack,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3, c), xp.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, s1, s2, s3 // pack, c * pack), xp.dtype
+            ),
             grid=(B, s1 // p, s2 // p),
             in_specs=[in_spec, in_spec, *const_specs],
             out_specs=out_spec,
@@ -475,7 +542,9 @@ def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iter
     from .partitioning import multi_device
 
     p = patch
-    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, x.shape[-1])
+    c = x.shape[-1]
+    pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
+    u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
     scale = 1.0 / len(shifts)
     xp = _pad12(x, p)
     # The cotangent seen by each shift's solve is g rolled forward (the
@@ -488,10 +557,10 @@ def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iter
     for shift in shifts:
         sh = _norm_shift(shift, p)
         fn = _shift_bwd_pass_fn(p, sh, solver, num_iters, num_grad_steps,
-                                float(eps), _pick_precision(x.dtype), part)
-        dxs = fn(xp, gp, u0b, v0p, mask)
-        if sh[0] or sh[1]:
-            dxs = jnp.roll(dxs, (-sh[0], -sh[1]), (1, 2))
+                                float(eps), _pick_precision(x.dtype), part, pack)
+        dxs = _unpack_lanes_xla(fn(xp, gp, u0b, v0p, mask), pack, c)
+        if any(sh):
+            dxs = jnp.roll(dxs, tuple(-v for v in sh), (1, 2, 3))
         dacc = dxs if dacc is None else dacc + dxs
     return dacc * scale
 
@@ -539,32 +608,50 @@ def _multi_bwd(head_dim, patch, shifts, solver, num_iters, eps, num_grad_steps, 
 windowed_nmf_multi.defvjp(_multi_fwd, _multi_bwd)
 
 
-def _prep_inputs(u0: Array, v0: Array, patch: int, head_dim: int, c: int):
-    """Trace-time constant kernel inputs: tiled u0, patch v0, head mask."""
+def _prep_inputs(u0: Array, v0: Array, patch: int, head_dim: int, c: int,
+                 pack: int = 1):
+    """Trace-time constant kernel inputs: tiled u0, patch v0, head mask.
+
+    With lane packing the kernel sees ``pack*C`` channels per row, so u0 is
+    tiled across ``pack*h`` head slots and the block-diagonal mask covers
+    ``(pack*C, pack*C)`` — packed windows never mix.
+    """
     h = c // head_dim
-    u0b = jnp.tile(u0[:, 0].astype(jnp.float32), h)[None]  # (1, C)
+    u0b = jnp.tile(u0[:, 0].astype(jnp.float32), h * pack)[None]  # (1, pack*C)
     v0p = v0[:, 0].astype(jnp.float32).reshape(patch * patch, patch)  # (p^2, p)
     mask = jnp.asarray(
-        np.kron(np.eye(h, dtype=np.float32), np.ones((head_dim, head_dim), np.float32))
+        np.kron(
+            np.eye(h * pack, dtype=np.float32),
+            np.ones((head_dim, head_dim), np.float32),
+        )
     )
     return u0b, v0p, mask
 
 
-def _row_specs(patch: int, s3: int, c: int):
-    """Block specs for the (1, p, p, S3, C) row-of-windows blocking."""
-    vol_spec = pl.BlockSpec(
+def _row_specs(patch: int, s3: int, c: int, pack: int = 1):
+    """Block specs for the (1, p, p, S3, C) row-of-windows blocking.
+
+    The output is lane-packed: (1, p, p, S3/pack, pack*C) blocks.
+    """
+    cp = c * pack
+    in_spec = pl.BlockSpec(
         (1, patch, patch, s3, c),
         lambda b, i, j: (b, i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    out_spec = pl.BlockSpec(
+        (1, patch, patch, s3 // pack, cp),
+        lambda b, i, j: (b, i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     const_specs = [
-        pl.BlockSpec((1, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cp), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (patch * patch, patch), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec((c, c), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cp, cp), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
-    return vol_spec, const_specs
+    return in_spec, out_spec, const_specs
 
 
 
@@ -586,18 +673,19 @@ def _on_tpu() -> bool:
 def _forward_impl(x, u0, v0, head_dim, patch, solver, num_iters, eps):
     B, s1, s2, s3, c = x.shape
     g1, g2 = s1 // patch, s2 // patch
-    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c)
-    vol_spec, const_specs = _row_specs(patch, s3, c)
+    pack = _pick_pack(c, s3 // patch, s3)
+    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c, pack)
+    in_spec, out_spec, const_specs = _row_specs(patch, s3, c, pack)
 
-    return pl.pallas_call(
+    yp = pl.pallas_call(
         functools.partial(
             _kernel, patch=patch, solver=solver, num_iters=num_iters, eps=eps,
-            precision=_pick_precision(x.dtype),
+            precision=_pick_precision(x.dtype), pack=pack,
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3 // pack, c * pack), x.dtype),
         grid=(B, g1, g2),
-        in_specs=[vol_spec, *const_specs],
-        out_specs=vol_spec,
+        in_specs=[in_spec, *const_specs],
+        out_specs=out_spec,
         interpret=not _on_tpu(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         cost_estimate=pl.CostEstimate(
@@ -606,24 +694,26 @@ def _forward_impl(x, u0, v0, head_dim, patch, solver, num_iters, eps):
             transcendentals=0,
         ),
     )(x, u0b, v0p, mask)
+    return _unpack_lanes_xla(yp, pack, c)
 
 
 def _backward_impl(x, g, u0, v0, head_dim, patch, solver, num_iters, num_grad_steps, eps):
     B, s1, s2, s3, c = x.shape
     g1, g2 = s1 // patch, s2 // patch
-    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c)
-    vol_spec, const_specs = _row_specs(patch, s3, c)
+    pack = _pick_pack(c, s3 // patch, s3)
+    u0b, v0p, mask = _prep_inputs(u0, v0, patch, head_dim, c, pack)
+    in_spec, out_spec, const_specs = _row_specs(patch, s3, c, pack)
 
-    return pl.pallas_call(
+    dxp = pl.pallas_call(
         functools.partial(
             _bwd_kernel, patch=patch, solver=solver, num_iters=num_iters,
             num_grad_steps=num_grad_steps, eps=eps,
-            precision=_pick_precision(x.dtype),
+            precision=_pick_precision(x.dtype), pack=pack,
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, s1, s2, s3 // pack, c * pack), x.dtype),
         grid=(B, g1, g2),
-        in_specs=[vol_spec, vol_spec, *const_specs],
-        out_specs=vol_spec,
+        in_specs=[in_spec, in_spec, *const_specs],
+        out_specs=out_spec,
         interpret=not _on_tpu(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
         cost_estimate=pl.CostEstimate(
@@ -632,6 +722,7 @@ def _backward_impl(x, g, u0, v0, head_dim, patch, solver, num_iters, num_grad_st
             transcendentals=0,
         ),
     )(x, g, u0b, v0p, mask)
+    return _unpack_lanes_xla(dxp, pack, c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))

@@ -156,3 +156,41 @@ def test_split_shifts_option_equivalence():
     y_s = jax.jit(blk_split.apply)(variables, x)
     y_p = jax.jit(blk_plain.apply)(variables, x)
     np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_p))
+
+
+def test_lane_packed_config_matches_xla():
+    """A config where lane packing engages (C=32, S=32, p=8 -> pack 4):
+    packed field solve and its gradient must equal the explicit
+    fold/solve/unfold composition."""
+    from factorizer_tpu.ops.pallas.windowed_nmf_kernel import (
+        _pick_pack,
+        windowed_nmf_multi,
+        xla_windowed_nmf_reconstruct,
+    )
+
+    assert _pick_pack(32, 4, 32) == 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1, 32, 32, 32, 32), dtype=np.float32))
+    u0 = jnp.asarray(rng.random((8, 1), dtype=np.float32))
+    v0 = jnp.asarray(rng.random((512, 1), dtype=np.float32))
+
+    def xla_multi(x, shifts):
+        acc = None
+        for s in shifts:
+            xs = jnp.roll(x, (s, s, s), (1, 2, 3)) if s else x
+            ys = xla_windowed_nmf_reconstruct(xs, u0, v0, 8, 8, "hals", 2)
+            if s:
+                ys = jnp.roll(ys, (-s, -s, -s), (1, 2, 3))
+            acc = ys if acc is None else acc + ys
+        return acc / len(shifts)
+
+    shifts = (None, 2)
+    y = jax.jit(lambda x: windowed_nmf_multi(x, u0, v0, 8, 8, shifts, "hals", 2))(x)
+    y_ref = xla_multi(x, shifts)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+    g = jax.jit(
+        jax.grad(lambda x: (windowed_nmf_multi(x, u0, v0, 8, 8, shifts, "hals", 2) ** 2).sum())
+    )(x)
+    g_ref = jax.grad(lambda x: (xla_multi(x, shifts) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
