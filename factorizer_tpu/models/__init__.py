@@ -4,3 +4,4 @@ from .deconver import DeconvMixer, DeconverBlock, DeconverStage, Stem, Deconver
 from .segresnet import SegResNet, SegResBlock
 from .dynunet import DynUNet, DynUNetBlock
 from .swinunetr import SwinUNETR, SwinBlock, WindowAttention
+from .unetr import UNETR

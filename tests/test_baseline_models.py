@@ -145,3 +145,33 @@ class TestReferenceParamParity:
         )
         n = self._count(m, (1, 2, 128, 128, 128))
         assert abs(n - 6_730_000) / 6_730_000 < 0.01, n
+
+
+class TestUNETR:
+    def test_forward_shape_and_grad(self):
+        m = ftx.UNETR(
+            in_channels=2, out_channels=3, img_size=(32, 32, 32),
+            feature_size=8, hidden_size=64, mlp_dim=128, num_heads=4,
+            num_layers=3, patch_size=16,
+        )
+        x = jax.random.uniform(jax.random.key(1), (1, 2, 32, 32, 32))
+        variables = jax.jit(m.init)(jax.random.key(0), x)
+        y = jax.jit(m.apply)(variables, x)
+        assert y.shape == (1, 3, 32, 32, 32)
+        assert bool(jnp.isfinite(y).all())
+        g = jax.jit(
+            jax.grad(lambda p: jnp.mean(m.apply({"params": p}, x) ** 2))
+        )(variables["params"])
+        assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+    def test_params_near_canonical(self):
+        # The UNETR paper reports 92.58M at this config; the reference's
+        # deepspeed profiler prints 124.5M (tests/profiler.json), which
+        # disagrees with the paper.  We assert the paper's ballpark.
+        import numpy as np
+
+        m = ftx.UNETR(in_channels=2, out_channels=1, img_size=(128,) * 3,
+                      feature_size=16)
+        vs = jax.eval_shape(m.init, jax.random.key(0), jnp.zeros((1, 2, 128, 128, 128)))
+        n = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(vs["params"]))
+        assert 88e6 < n < 102e6, n

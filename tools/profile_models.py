@@ -62,6 +62,7 @@ def build_models(spatial: int, dtype):
         "swinunetr": ftx.SwinUNETR(
             in_channels=2, out_channels=1, img_size=sp3, feature_size=24, window_size=7
         ),
+        "unetr": ftx.UNETR(in_channels=2, out_channels=1, img_size=sp3, feature_size=16),
     }
     return models
 
@@ -74,23 +75,28 @@ def measure(model, x, iters: int) -> dict:
         out = model.apply(v, x)
         return out[0] if isinstance(out, (list, tuple)) else out
 
-    def chain(x, k):
-        def body(c, _):
-            y = fwd(variables, c)
-            return c + 1e-12 * jnp.mean(y).astype(c.dtype), ()
+    def chain(k):
+        def run(v, x):
+            def body(c, _):
+                y = fwd(v, c)
+                return c + 1e-12 * jnp.mean(y).astype(c.dtype), ()
 
-        return jax.jit(lambda x: jnp.sum(jax.lax.scan(body, x, None, length=k)[0]))
+            return jnp.sum(jax.lax.scan(body, x, None, length=k)[0])
+
+        # variables as a traced ARG: closing over them would bake hundreds
+        # of MB of weights into the HLO as constants for the larger models.
+        return jax.jit(run)
 
     k_lo, k_hi = 1, 1 + iters
-    f_lo, f_hi = chain(x, k_lo), chain(x, k_hi)
+    f_lo, f_hi = chain(k_lo), chain(k_hi)
     # cost analysis from the single-forward chain (2 compiles/model total)
-    ca = f_lo.lower(x).compile().cost_analysis()
+    ca = f_lo.lower(variables, x).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
-    float(f_lo(x))
-    float(f_hi(x))
-    t_lo = min(_t(f_lo, x) for _ in range(2))
-    t_hi = min(_t(f_hi, x) for _ in range(2))
+    float(f_lo(variables, x))
+    float(f_hi(variables, x))
+    t_lo = min(_t(f_lo, variables, x) for _ in range(2))
+    t_hi = min(_t(f_hi, variables, x) for _ in range(2))
     latency = (t_hi - t_lo) / (k_hi - k_lo)
 
     return {
@@ -101,16 +107,16 @@ def measure(model, x, iters: int) -> dict:
     }
 
 
-def _t(f, x) -> float:
+def _t(f, *args) -> float:
     t0 = time.perf_counter()
-    float(f(x))
+    float(f(*args))
     return time.perf_counter() - t0
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spatial", type=int, default=128)
-    ap.add_argument("--models", default="factorizer,deconver,segresnet,dynunet,swinunetr")
+    ap.add_argument("--models", default="factorizer,deconver,segresnet,dynunet,swinunetr,unetr")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--output", default="profiler.json")
