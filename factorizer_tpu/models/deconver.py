@@ -223,6 +223,7 @@ class Deconver(nn.Module):
     eps: float = 1e-16
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
+    remat: bool = False
 
     def setup(self) -> None:
         stem = self.stem
@@ -262,6 +263,7 @@ class Deconver(nn.Module):
             head=self.head,
             num_deep_supr=self.num_deep_supr,
             data_format=self.data_format,
+            remat=self.remat,
         )
 
     def forward_features(self, x: Array, deterministic: bool = True) -> list[Array]:

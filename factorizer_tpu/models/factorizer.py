@@ -137,11 +137,14 @@ class FactMixer(nn.Module):
 
     def _use_fused_windowed(self, out: Array) -> bool:
         # Default ON where eligible: the v2 row-blocked kernel beats the
-        # fold -> flat kernel -> unfold path ~2-3x at every stage scale on
+        # fold -> flat kernel -> unfold path 2-3x at every stage scale on
         # v5e (PERFORMANCE.md).  Opt out with
         # ``factorize_options={"use_windowed": False}``.  Multi-device meshes
-        # go through the sharded wrapper in ``parallel/kernel_sharding.py``
-        # (GSPMD cannot partition a bare custom call).
+        # keep the kernel local per shard via its custom_partitioning rule
+        # (ops/pallas/partitioning.py) — batch-sharded (dp) meshes shard
+        # freely; spatial (sp) shardings get resharded around the call, so
+        # sp users should prefer ``use_windowed: False`` (the flat kernel
+        # partitions along the window axis instead).
         opts = self.factorize_options or {}
         if self._fw is None or opts.get("use_windowed") is False:
             return False
@@ -151,10 +154,7 @@ class FactMixer(nn.Module):
 
         from ..ops.pallas.windowed_nmf_kernel import supports_windowed
 
-        devices = jax.devices()
-        if not opts.get("use_windowed") and not (
-            len(devices) == 1 and devices[0].platform == "tpu"
-        ):
+        if not opts.get("use_windowed") and jax.devices()[0].platform != "tpu":
             return False
         fact = self.factorize_op
         mats, d, p = self._fw
@@ -374,6 +374,7 @@ class Factorizer(nn.Module):
     solver: Any = None
     factorize_options: Any = None
     dtype: Any = None
+    remat: bool = False
 
     def setup(self) -> None:
         stem = self.stem
@@ -421,6 +422,7 @@ class Factorizer(nn.Module):
             num_deep_supr=self.num_deep_supr,
             data_format=self.data_format,
             dtype=self.dtype,
+            remat=self.remat,
         )
 
     def forward_features(self, x: Array, deterministic: bool = True) -> list[Array]:

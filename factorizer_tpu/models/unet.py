@@ -101,6 +101,7 @@ class UNet(nn.Module):
     num_deep_supr: Any = False
     data_format: str = CHANNELS_FIRST
     dtype: Any = None  # compute dtype for blocks that support it (e.g. bfloat16)
+    remat: bool = False  # rematerialize stage activations in the backward
 
     def setup(self) -> None:
         n_enc = len(self.encoder_depth)
@@ -210,19 +211,32 @@ class UNet(nn.Module):
 
     def forward_features(self, x: Array, deterministic: bool = True) -> list[Array]:
         """Channels-last feature pass; returns the decoder pyramid (finest first)."""
+        if self.remat:
+            # Trade FLOPs for memory: stage activations are recomputed in the
+            # backward instead of stored (enables larger batches at 128^3;
+            # the reference relies on 32+ GB GPUs for batch 2, train.yaml).
+            import flax.linen as nn
+
+            run = nn.remat(
+                lambda mdl, x, det: mdl(x, deterministic=det),
+                static_argnums=(2,),
+            )
+        else:
+            run = lambda mdl, x, det: mdl(x, deterministic=det)  # noqa: E731
+
         out = self.stem_(x)
 
         skips: list[Array] = []
         for down, block in zip(self.encoder_downs, self.encoder_blocks):
             out = down(out)
-            out = block(out, deterministic=deterministic)
+            out = run(block, out, deterministic)
             skips.append(out)
 
         ys = list(skips)
         for i, (up, block) in enumerate(zip(self.decoder_ups, self.decoder_blocks)):
             hi = up(ys[-1 - i])
             cat = jnp.concatenate([ys[-2 - i], hi], axis=-1)
-            ys[-2 - i] = block(cat, deterministic=deterministic)
+            ys[-2 - i] = run(block, cat, deterministic)
         return ys
 
     def __call__(self, x: Array, train: bool = False):

@@ -273,3 +273,33 @@ class TestObservability:
         assert summ[0] == "class,mean,median,max,min,90percentile,std"
         assert len(summ) == 5  # header + 3 classes + overall mean row
         assert len(files) == 3
+
+
+class TestRemat:
+    def test_remat_matches_baseline_forward_and_grad(self):
+        """remat=True trades FLOPs for memory without changing numerics."""
+        import factorizer_tpu as ftx
+
+        kw = dict(
+            in_channels=1, out_channels=1, spatial_size=(16, 16, 16),
+            encoder_depth=(1, 1), encoder_width=(8, 16), strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals",
+            mlp_ratio=2,
+        )
+        m0 = ftx.Factorizer(**kw)
+        m1 = ftx.Factorizer(**kw, remat=True)
+        x = jax.random.uniform(jax.random.key(0), (1, 1, 16, 16, 16))
+        variables = jax.jit(m0.init)(jax.random.key(1), x)
+        y0 = jax.jit(m0.apply)(variables, x)
+        y1 = jax.jit(m1.apply)(variables, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+        def loss(m, v):
+            return jnp.mean(m.apply(v, x) ** 2)
+
+        g0 = jax.jit(jax.grad(lambda v: loss(m0, v)))(variables)
+        g1 = jax.jit(jax.grad(lambda v: loss(m1, v)))(variables)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
