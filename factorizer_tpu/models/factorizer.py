@@ -121,15 +121,29 @@ class FactMixer(nn.Module):
         """One fused fold/solve/unfold pass per shift; rolls never materialize.
 
         Shifts are served from a single wrap-padded copy of the volume via
-        element-offset block reads (see windowed_nmf_kernel.py).
+        element-offset block reads (see windowed_nmf_kernel.py).  With
+        ``factorize_options={"spatial_mesh": mesh, "spatial_axis": name}``
+        (the volume's first spatial axis sharded over that mesh axis) the
+        shard_map variant runs instead: the kernel stays local per shard and
+        only the p-row halo moves over ICI (windowed_sharded.py).
         """
-        from ..ops.pallas.windowed_nmf_kernel import windowed_nmf_multi
-
         mats, d, p = self._fw
         fact = self.factorize_op
         u0, v0 = fact.initializer.tables()
         eps = fact.eps if fact.eps is not None else 1e-16
         shifts = tuple(m.shifts for m in mats)
+        opts = self.factorize_options or {}
+        mesh = opts.get("spatial_mesh")
+        if mesh is not None:
+            from ..ops.pallas.windowed_sharded import windowed_nmf_multi_spatial
+
+            return windowed_nmf_multi_spatial(
+                out, u0, v0, d, p, shifts, fact.solver, fact.num_iters, eps,
+                fact.num_grad_steps, mesh=mesh,
+                axis_name=opts.get("spatial_axis", "model"),
+            )
+        from ..ops.pallas.windowed_nmf_kernel import windowed_nmf_multi
+
         return windowed_nmf_multi(
             out, u0, v0, d, p, shifts, fact.solver, fact.num_iters, eps,
             fact.num_grad_steps,

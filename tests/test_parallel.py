@@ -148,3 +148,97 @@ class TestFusedKernelSharding:
             g_dp = jax.jit(jax.grad(loss))(variables, xs)
         for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_dp)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSpatialShardedWindowed:
+    """shard_map windowed mixing with ppermute halo exchange must equal the
+    single-device fused path (sequence/window parallelism for volumes too
+    large for one chip)."""
+
+    @pytest.fixture(scope="class")
+    def data(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.random((1, 32, 16, 16, 8), dtype=np.float32))
+        u0 = jnp.asarray(rng.random((4, 1), dtype=np.float32))
+        v0 = jnp.asarray(rng.random((64, 1), dtype=np.float32))
+        return x, u0, v0
+
+    def test_forward_matches_single_device(self, data):
+        from factorizer_tpu.ops.pallas.windowed_nmf_kernel import windowed_nmf_multi
+        from factorizer_tpu.ops.pallas.windowed_sharded import (
+            windowed_nmf_multi_spatial,
+        )
+
+        x, u0, v0 = data
+        shifts = (None, 1, (2, 3, 1))
+        y_ref = jax.jit(
+            lambda x: windowed_nmf_multi(x, u0, v0, 4, 4, shifts, "hals", 2)
+        )(x)
+
+        mesh = make_mesh({"model": 4})
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        y = jax.jit(
+            lambda x: windowed_nmf_multi_spatial(
+                x, u0, v0, 4, 4, shifts, "hals", 2, mesh=mesh, axis_name="model"
+            )
+        )(xs)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+    def test_gradient_matches_single_device(self, data):
+        from factorizer_tpu.ops.pallas.windowed_nmf_kernel import windowed_nmf_multi
+        from factorizer_tpu.ops.pallas.windowed_sharded import (
+            windowed_nmf_multi_spatial,
+        )
+
+        x, u0, v0 = data
+        shifts = (None, 2)
+        g_ref = jax.jit(
+            jax.grad(lambda x: (windowed_nmf_multi(x, u0, v0, 4, 4, shifts, "hals", 2) ** 2).sum())
+        )(x)
+
+        mesh = make_mesh({"model": 4})
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        g = jax.jit(
+            jax.grad(
+                lambda x: (
+                    windowed_nmf_multi_spatial(
+                        x, u0, v0, 4, 4, shifts, "hals", 2, mesh=mesh,
+                        axis_name="model",
+                    )
+                    ** 2
+                ).sum()
+            )
+        )(xs)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+    def test_factmixer_spatial_mesh_option(self, data):
+        """The mixer option routes through the shard_map halo path and still
+        matches the unsharded fused mixer."""
+        import factorizer_tpu as ftx
+
+        mesh = make_mesh({"model": 4})
+        kw = dict(
+            channels=8, spatial_size=(32, 16, 16),
+            reshape=(ftx.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals",
+            mlp_ratio=2,
+        )
+        blk_sp = ftx.FactorizerBlock(
+            **kw,
+            factorize_options={
+                "use_pallas": True, "use_windowed": True,
+                "spatial_mesh": mesh, "spatial_axis": "model",
+            },
+        )
+        blk_plain = ftx.FactorizerBlock(
+            **kw, factorize_options={"use_pallas": True, "use_windowed": True}
+        )
+        x = jax.random.uniform(jax.random.key(0), (1, 32, 16, 16, 8))
+        variables = jax.jit(blk_plain.init)(jax.random.key(1), x)
+        y_ref = jax.jit(blk_plain.apply)(variables, x)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+        with mesh:
+            y = jax.jit(blk_sp.apply)(variables, xs)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
