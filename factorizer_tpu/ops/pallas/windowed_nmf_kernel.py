@@ -54,7 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nmf_kernel import _SOLVER_ITERS
 
-__all__ = ["windowed_nmf_reconstruct", "xla_windowed_nmf_reconstruct", "supports_windowed"]
+__all__ = [
+    "windowed_nmf_reconstruct",
+    "windowed_nmf_multi",
+    "xla_windowed_nmf_reconstruct",
+    "supports_windowed",
+]
 
 EPS = 1e-16
 
