@@ -194,3 +194,40 @@ def test_lane_packed_config_matches_xla():
     )(x)
     g_ref = jax.grad(lambda x: (xla_multi(x, shifts) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "shape,d,p",
+    [
+        ((1, 16, 16, 16, 24), 8, 4),   # 3 heads (non-power-of-two C)
+        ((2, 8, 16, 24, 8), 4, 4),     # non-cubic spatial, B=2
+        ((1, 8, 8, 8, 16), 16, 8),     # single window, head_dim == C
+        ((1, 16, 16, 16, 4), 1, 4),    # head_dim 1
+    ],
+)
+def test_windowed_multi_edge_shapes(shape, d, p):
+    """Irregular head counts / aspect ratios through the fused path."""
+    from factorizer_tpu.ops.pallas.windowed_nmf_kernel import (
+        windowed_nmf_multi,
+        xla_windowed_nmf_reconstruct,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+    u0 = jnp.asarray(rng.random((d, 1), dtype=np.float32))
+    v0 = jnp.asarray(rng.random((p**3, 1), dtype=np.float32))
+    shifts = (None, p // 2)
+    y = jax.jit(lambda x: windowed_nmf_multi(x, u0, v0, d, p, shifts, "hals", 2))(x)
+
+    def ref(x):
+        acc = None
+        for s in shifts:
+            t = (s, s, s) if s else None
+            xs = jnp.roll(x, t, (1, 2, 3)) if t else x
+            ys = xla_windowed_nmf_reconstruct(xs, u0, v0, d, p, "hals", 2)
+            if t:
+                ys = jnp.roll(ys, tuple(-v for v in t), (1, 2, 3))
+            acc = ys if acc is None else acc + ys
+        return acc / len(shifts)
+
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x)), atol=2e-5)
