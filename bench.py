@@ -3,10 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology: the axon TPU tunnel defers/elides execution until a host fetch,
-so we chain K forwards with a data dependency (each iteration's input is
+so we chain K forwards with a data dependency (each dispatch's input is
 perturbed by the previous output's mean), force execution with a scalar
 fetch, and take the slope between two K values to cancel the fixed
-tunnel/dispatch overhead.
+tunnel/dispatch overhead.  The chain is a *python-level* loop of dispatches
+of one compiled forward — wrapping the chain in ``lax.scan`` makes XLA
+compile the loop body differently (measured +57%: giant convert/reduce
+fusions appear only inside the while body), so scan would not measure the
+executable users actually run.  Device-profile cross-check: the python-loop
+slope matches the XLA-op trace total within ~2%.
 
 Baseline context (BASELINE.md): the reference repo ships only a CPU latency
 for this exact model/config — 16.19 s/volume (tests/profiler.json, torch CPU,
@@ -31,26 +36,30 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 REFERENCE_CPU_LATENCY_S = 16.19  # tests/profiler.json, Factorizer @ (1,2,128^3)
 
 
-def _chained_forward(model, variables, x, k: int):
-    """jit-compiled chain of k forwards with a data dependency between them."""
+def _make_step(model, variables):
+    """One compiled forward returning a scalar (the chain coupling value)."""
 
-    def body(carry, _):
-        y = model.apply(variables, carry)
-        carry = carry + 1e-12 * jnp.mean(y)
-        return carry, ()
+    @jax.jit
+    def step(variables, x):
+        y = model.apply(variables, x)
+        return jnp.mean(y.astype(jnp.float32))
 
-    def run(x):
-        out, _ = jax.lax.scan(body, x, None, length=k)
-        return jnp.sum(out)
-
-    return jax.jit(run)
+    return lambda x: step(variables, x)
 
 
-def _time(fn, x, reps: int = 3) -> float:
+def _chained(step, x, k: int) -> float:
+    """k data-dependent dispatches of the compiled forward; scalar fetch."""
+    m = step(x)
+    for _ in range(k - 1):
+        m = step(x + 1e-12 * m)
+    return float(m)
+
+
+def _time(step, x, k: int, reps: int = 3) -> float:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(x))  # host fetch forces execution
+        _chained(step, x, k)  # final float() fetch forces execution
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -69,13 +78,11 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0), x)
 
     k_lo, k_hi = 2, 10
-    f_lo = _chained_forward(model, variables, x, k_lo)
-    f_hi = _chained_forward(model, variables, x, k_hi)
-    float(f_lo(x))  # compile
-    float(f_hi(x))
+    step = _make_step(model, variables)
+    _chained(step, x, 2)  # compile
 
-    t_lo = _time(f_lo, x)
-    t_hi = _time(f_hi, x)
+    t_lo = _time(step, x, k_lo)
+    t_hi = _time(step, x, k_hi)
     per_iter = (t_hi - t_lo) / (k_hi - k_lo)
 
     vol_per_s = 1.0 / per_iter

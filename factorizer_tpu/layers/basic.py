@@ -13,12 +13,14 @@ kernels, fan-in uniform for biases) so training dynamics track the reference.
 
 from __future__ import annotations
 
+import itertools
 import math
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from flax.linen import dtypes as _dtypes
 from jax import Array
 
 from ..utils.helpers import to_ntuple
@@ -176,6 +178,174 @@ class MLP(nn.Module):
         return x
 
 
+def _conv_dim_numbers(p: int):
+    s = "DHW"[3 - p :]
+    return (f"N{s}C", f"{s}IO", f"N{s}C")
+
+
+def _space_to_depth_matmul(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
+    """Non-overlapping conv (``kernel_size == strides``, no padding) as one
+    MXU matmul: reshape/transpose the volume into ``(B, *grid, prod(k)*C)``
+    patches and contract with the flattened kernel.  Exactly equal to the
+    XLA conv (same cross-correlation index order) but sidesteps XLA:TPU's
+    conv layout assignment, which in-context inserts multi-ms layout copies
+    around small-channel convs (see PERFORMANCE.md round-2 trace analysis).
+    """
+    B, *spatial, c = x.shape
+    p = len(spatial)
+    grid = [s // k for s, k in zip(spatial, ks)]
+    shape = [B]
+    for g, k in zip(grid, ks):
+        shape += [g, k]
+    x = x.reshape(*shape, c)
+    perm = (0, *range(1, 2 * p + 1, 2), *range(2, 2 * p + 2, 2), 2 * p + 1)
+    x = jnp.transpose(x, perm).reshape(B, *grid, math.prod(ks) * c)
+    return x @ kernel.reshape(-1, kernel.shape[-1])
+
+
+def _im2col_matmul(x: Array, kernel: Array, ks: Sequence[int], pads) -> Array:
+    """Stride-1 conv as shifted-slice stacking + one matmul.
+
+    Only used when ``prod(kernel_size) * C_in`` fits one lane tile (<= 128),
+    i.e. small-channel stems, where XLA's conv emitters are channel-starved
+    and its layout choices dominate runtime.  The column tensor's last-axis
+    order is (offset-major, channel-minor), matching the flattened kernel.
+    """
+    B, *spatial, c = x.shape
+    out_sp = [s + lo + hi - k + 1 for s, (lo, hi), k in zip(spatial, pads, ks)]
+    xp = jnp.pad(x, ((0, 0), *pads, (0, 0)))
+    cols = jnp.concatenate(
+        [
+            xp[(slice(None), *[slice(o, o + n) for o, n in zip(off, out_sp)], slice(None))]
+            for off in itertools.product(*[range(k) for k in ks])
+        ],
+        axis=-1,
+    )
+    return cols @ kernel.reshape(-1, kernel.shape[-1])
+
+
+class _FastConv(nn.Module):
+    """``nn.Conv`` drop-in (same param tree: ``kernel``/``bias``) with
+    matmul-formulated fast paths for the U-Net's hot conv shapes.
+
+    XLA:TPU picks conv layouts per-instruction; in the full flagship graph
+    that surrounded the stem / k2s2 down / k1 head convs with layout copies
+    costing several ms each (round-2 trace: stem path 18 ms vs 3 ms
+    standalone).  Reformulating the eligible convs as reshape+matmul keeps
+    everything in the canonical channels-last layout.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: tuple  # ((lo, hi), ...) per spatial dim
+    feature_group_count: int = 1
+    use_bias: bool = True
+    kernel_dilation: tuple = ()
+    dtype: Any = None
+    kernel_init: Any = torch_kernel_init
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        ks, st = self.kernel_size, self.strides
+        dil = self.kernel_dilation or (1,) * len(ks)
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*ks, in_ch // self.feature_group_count, self.features),
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+
+        spatial = x.shape[1:-1]
+        simple = self.feature_group_count == 1 and all(d == 1 for d in dil)
+        no_pad = all(lo == 0 and hi == 0 for lo, hi in self.padding)
+        if (
+            simple
+            and ks == st
+            and no_pad
+            and all(s % k == 0 for s, k in zip(spatial, ks))
+        ):
+            y = _space_to_depth_matmul(x, kernel, ks)
+        elif simple and all(s == 1 for s in st) and math.prod(ks) * in_ch <= 128:
+            y = _im2col_matmul(x, kernel, ks, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=st,
+                padding=list(self.padding),
+                rhs_dilation=dil,
+                dimension_numbers=_conv_dim_numbers(len(ks)),
+                feature_group_count=self.feature_group_count,
+            )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class _FastConvTranspose(nn.Module):
+    """``nn.ConvTranspose`` (VALID padding) drop-in with a matmul fast path
+    for the U-Net upsample case ``kernel_size == strides``: one MXU matmul
+    with the spatially-flipped kernel, then a depth-to-space interleave.
+    Bit-compatible param tree (``kernel``/``bias``) and identical math
+    (verified against ``nn.ConvTranspose`` in tests/test_fast_conv.py).
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    use_bias: bool = True
+    dtype: Any = None
+    kernel_init: Any = torch_kernel_init
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        ks, st = self.kernel_size, self.strides
+        p = len(ks)
+        kernel = self.param("kernel", self.kernel_init, (*ks, in_ch, self.features))
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+
+        if ks == st:
+            # lax.conv_transpose (transpose_kernel=False) applies the
+            # spatially-flipped kernel; with k == s each input voxel expands
+            # into an independent k^p block: y[..., i*k+a, co] =
+            # sum_ci x[..., i, ci] * flip(K)[a, ci, co].
+            flipped = kernel[(slice(None, None, -1),) * p]
+            mat = jnp.transpose(flipped, (p, *range(p), p + 1)).reshape(in_ch, -1)
+            B, *grid, _ = x.shape
+            y = (x @ mat).reshape(B, *grid, *ks, self.features)
+            perm = [0]
+            for i in range(p):
+                perm += [1 + i, 1 + p + i]
+            y = jnp.transpose(y, (*perm, 2 * p + 1))
+            y = y.reshape(B, *[g * k for g, k in zip(grid, ks)], self.features)
+        else:
+            y = jax.lax.conv_transpose(
+                x,
+                kernel,
+                strides=st,
+                padding="VALID",
+                dimension_numbers=_conv_dim_numbers(p),
+            )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class Conv(nn.Module):
     """N-D convolution, channels-last, torch-like constructor signature.
 
@@ -197,9 +367,9 @@ class Conv(nn.Module):
     def __call__(self, x: Array) -> Array:
         p = x.ndim - 2
         ks = to_ntuple(self.kernel_size, p)
-        pad = [(q, q) for q in to_ntuple(self.padding, p)]
+        pad = tuple((q, q) for q in to_ntuple(self.padding, p))
         fan_in = self.in_channels // self.groups * math.prod(ks)
-        return nn.Conv(
+        return _FastConv(
             self.out_channels,
             kernel_size=ks,
             strides=to_ntuple(self.stride, p),
@@ -233,11 +403,10 @@ class ConvTranspose(nn.Module):
         p = x.ndim - 2
         ks = to_ntuple(self.kernel_size, p)
         fan_in = self.in_channels * math.prod(ks)
-        return nn.ConvTranspose(
+        return _FastConvTranspose(
             self.out_channels,
             kernel_size=ks,
             strides=to_ntuple(self.stride, p),
-            padding="VALID",
             use_bias=bool(self.bias),
             dtype=self.dtype,
             kernel_init=torch_kernel_init,
