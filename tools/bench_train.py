@@ -79,33 +79,31 @@ def main() -> None:
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
+    # Python-level chain of dispatches of ONE compiled step: wrapping the
+    # chain in lax.scan makes XLA compile the loop body differently from the
+    # executable a real training loop runs (see bench.py).  The state carries
+    # the data dependency; the final loss fetch forces execution.
+    step_fn = jax.jit(one_step)
+
     def chain(k):
-        def run(state):
-            def body(carry, i):
-                s, _ = carry
-                s, loss = one_step(s, jax.random.fold_in(jax.random.key(3), i))
-                return (s, loss), ()
+        s, loss = state, None
+        for i in range(k):
+            s, loss = step_fn(s, jax.random.fold_in(jax.random.key(3), i))
+        return float(loss)
 
-            (s, loss), _ = jax.lax.scan(body, (state, jnp.float32(0)), jnp.arange(k))
-            return loss
-
-        return jax.jit(run, donate_argnums=())
-
-    k_lo, k_hi = 1, 1 + args.k
-    f_lo, f_hi = chain(k_lo), chain(k_hi)
     print("compiling...", flush=True)
-    float(f_lo(state))
-    float(f_hi(state))
+    chain(1)
 
-    def t(f):
+    def t(k):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(f(state))
+            chain(k)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per_step = (t(f_hi) - t(f_lo)) / (k_hi - k_lo)
+    k_lo, k_hi = 1, 1 + args.k
+    per_step = (t(k_hi) - t(k_lo)) / (k_hi - k_lo)
     print(
         json.dumps(
             {

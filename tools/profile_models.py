@@ -4,9 +4,9 @@
 The analogue of the reference's offline profiler artifact
 (reference: tests/profiler.py:15-50 + tests/profiler.json): FLOPs /
 bytes-accessed from XLA cost analysis, parameter counts, and wall-clock
-forward latency (chained-scan timing to defeat the axon tunnel's lazy
-execution) for every model family at the reference's profiling input
-(1, 2, 128^3).
+forward latency (python-loop chained dispatches to defeat the axon tunnel's
+lazy execution without distorting compilation — see bench.py) for every
+model family at the reference's profiling input (1, 2, 128^3).
 
 Usage:
     python tools/profile_models.py [--spatial 128] [--models factorizer,...]
@@ -71,32 +71,31 @@ def measure(model, x, iters: int) -> dict:
     variables = jax.jit(model.init)(jax.random.key(0), x)
     n_params = sum(a.size for a in jax.tree.leaves(variables["params"]))
 
-    def fwd(v, x):
+    # Python-level chain of dispatches of ONE compiled forward: wrapping the
+    # chain in lax.scan makes XLA compile the loop body differently from the
+    # executable users run (measured +57% on the flagship, see bench.py).
+    # variables as a traced ARG: closing over them would bake hundreds of MB
+    # of weights into the HLO as constants for the larger models.
+    @jax.jit
+    def step(v, x):
         out = model.apply(v, x)
-        return out[0] if isinstance(out, (list, tuple)) else out
+        y = out[0] if isinstance(out, (list, tuple)) else out
+        return jnp.mean(y.astype(jnp.float32))
 
-    def chain(k):
-        def run(v, x):
-            def body(c, _):
-                y = fwd(v, c)
-                return c + 1e-12 * jnp.mean(y).astype(c.dtype), ()
-
-            return jnp.sum(jax.lax.scan(body, x, None, length=k)[0])
-
-        # variables as a traced ARG: closing over them would bake hundreds
-        # of MB of weights into the HLO as constants for the larger models.
-        return jax.jit(run)
-
-    k_lo, k_hi = 1, 1 + iters
-    f_lo, f_hi = chain(k_lo), chain(k_hi)
-    # cost analysis from the single-forward chain (2 compiles/model total)
-    ca = f_lo.lower(variables, x).compile().cost_analysis()
+    ca = step.lower(variables, x).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
-    float(f_lo(variables, x))
-    float(f_hi(variables, x))
-    t_lo = min(_t(f_lo, variables, x) for _ in range(2))
-    t_hi = min(_t(f_hi, variables, x) for _ in range(2))
+
+    def chain(k):
+        m = step(variables, x)
+        for _ in range(k - 1):
+            m = step(variables, x + 1e-12 * m)
+        return float(m)
+
+    chain(1)  # compile
+    k_lo, k_hi = 1, 1 + iters
+    t_lo = min(_t(chain, k_lo) for _ in range(2))
+    t_hi = min(_t(chain, k_hi) for _ in range(2))
     latency = (t_hi - t_lo) / (k_hi - k_lo)
 
     return {
@@ -109,7 +108,7 @@ def measure(model, x, iters: int) -> dict:
 
 def _t(f, *args) -> float:
     t0 = time.perf_counter()
-    float(f(*args))
+    f(*args)
     return time.perf_counter() - t0
 
 
