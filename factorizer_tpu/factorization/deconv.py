@@ -2,12 +2,17 @@
 
 TPU-native counterpart of the reference Deconv
 (reference: factorizer/factorization/deconvolution.py:21-240).  The
-reference's reshape-into-groups batching trick (:21-40) is replaced by
-``jax.vmap`` over per-sample ``lax.conv_general_dilated`` calls, which XLA
-lowers to a single batched convolution — free on TPU and much clearer.
-Layout is channels-last ``(B, *spatial, C)``; filters are stored in the
-reference's torch layout ``(C, S, *k)`` to ease checkpoint import, and
-transposed to ``(*k, in, out)`` at use (a trace-time constant transpose).
+reference's reshape-into-groups batching trick (:21-40) — splitting the
+channel groups into the batch dimension — is replaced by native grouped
+convolutions (``feature_group_count``): on TPU the split layout leaves
+tensors with tiny minor channel dims (1-4 channels for the depthwise
+``groups=-1`` bundle config) that get padded up to the 128-lane tile, a
+64-128x memory blowup that OOMs at 128^3.  Keeping channels merged keeps
+the lane dim full.  Layout is channels-last ``(B, *spatial, C)``; filters
+are stored in the reference's torch layout ``(C, S, *k)`` to ease checkpoint
+import, and transposed to ``(*k, in, out)`` at use (a trace-time constant
+transpose).  Solver math runs in float32 regardless of the activation dtype
+(same policy as the fused NMF kernels: bf16-unsafe ``eps`` denominators).
 """
 
 from __future__ import annotations
@@ -34,13 +39,23 @@ _DIM_NUMBERS = {
 }
 
 
-def batched_conv(s: Array, h: Array, padding: Sequence[tuple[int, int]]) -> Array:
-    """Per-sample convolution with per-sample weights.
+def batched_conv(
+    s: Array,
+    h: Array,
+    padding: Sequence[tuple[int, int]],
+    groups: int = 1,
+) -> Array:
+    """Per-sample (optionally grouped) convolution with per-sample weights.
 
     Args:
-        s: inputs ``(B, *S, C_in)``.
-        h: weights ``(B, C_out, C_in, *k)`` (torch weight layout + batch).
+        s: inputs ``(B, *S, C_in)`` with ``C_in = groups * in_per_group``,
+            group-major channel order.
+        h: weights ``(B, C_out, in_per_group, *k)`` (torch grouped-conv weight
+            layout + batch), ``C_out`` group-major.
         padding: per-spatial-dim ``(lo, hi)`` zero padding.
+        groups: feature group count (grouped conv stays in merged-channel
+            layout — the TPU-friendly formulation of the reference's
+            batch-into-groups trick, deconvolution.py:21-40).
 
     Returns:
         ``(B, *S', C_out)``.
@@ -48,13 +63,52 @@ def batched_conv(s: Array, h: Array, padding: Sequence[tuple[int, int]]) -> Arra
     p = s.ndim - 2
     dn = _DIM_NUMBERS[p]
 
+    if _use_depthwise_kernel(s, h, padding, groups):
+        from ..ops.pallas.depthwise_conv import depthwise_conv3d
+
+        ks = tuple(h.shape[3:])
+        B, c = h.shape[0], h.shape[1]
+        w = jnp.transpose(h[:, :, 0].reshape(B, c, -1), (0, 2, 1))  # (B, taps, C)
+        return depthwise_conv3d(s, w, ks)
+
     def one(s1: Array, h1: Array) -> Array:
-        rhs = jnp.moveaxis(h1, (0, 1), (-1, -2))  # (*k, C_in, C_out)
+        rhs = jnp.moveaxis(h1, (0, 1), (-1, -2))  # (*k, in_per_group, C_out)
         return jax.lax.conv_general_dilated(
-            s1[None], rhs, (1,) * p, list(padding), dimension_numbers=dn
+            s1[None], rhs, (1,) * p, list(padding),
+            dimension_numbers=dn, feature_group_count=groups,
         )[0]
 
     return jax.vmap(one)(s, h)
+
+
+# The v1 Pallas depthwise stencil kernel measured ~14.6 ms per 128^3 conv —
+# 3x SLOWER than XLA's emitter (~5 ms incl. layout copy): its 27 tap slices
+# relayout the whole block per tap (misaligned sublane offsets + major-dim
+# gather), and the explicit zero-pads did not fuse.  Kept for interpret-mode
+# reference/testing; OFF until a roll-based v2 beats the XLA path.
+USE_PALLAS_DEPTHWISE = False
+
+
+def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
+    """Route depthwise 3-D 'same'-padded convs through the Pallas stencil
+    kernel on TPU (see ops/pallas/depthwise_conv.py).  CPU keeps the lax
+    path."""
+    import jax as _jax
+
+    if not USE_PALLAS_DEPTHWISE:
+        return False
+    if s.ndim != 5 or groups != s.shape[-1]:
+        return False
+    if h.shape[1] != groups or h.shape[2] != 1:
+        return False
+    ks = tuple(h.shape[3:])
+    if any(lo != k // 2 or hi != k // 2 for (lo, hi), k in zip(padding, ks)):
+        return False
+    from ..ops.pallas.depthwise_conv import supports_depthwise
+
+    if not supports_depthwise(s.shape, ks):
+        return False
+    return any(d.platform == "tpu" for d in _jax.devices())
 
 
 def sconv(a: Array, b: Array, padding: Sequence[tuple[int, int]]) -> Array:
@@ -117,6 +171,8 @@ class Deconv(nn.Module):
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
     verbose: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype of the source head;
+    # the multiplicative-update math itself always runs in >= float32
 
     def setup(self) -> None:
         self.groups_ = self.channels if self.groups == -1 else self.groups
@@ -137,9 +193,12 @@ class Deconv(nn.Module):
             _kaiming_a5_init(fan_in),
             (self.channels, self.source_channels_, *ks),
         )
-        self.linear = Linear(self.channels, self.groups_ * self.source_channels_)
+        self.linear = Linear(
+            self.channels, self.groups_ * self.source_channels_, dtype=self.dtype
+        )
 
-    # -- group split/merge (channels-last analogues of deconvolution.py:125-126)
+    # -- group split/merge (channels-last analogues of deconvolution.py:125-126;
+    #    only the rare update_filter path uses the split layout — see module doc)
 
     def _split_x(self, x: Array) -> Array:
         return rearrange(x, "b ... (g c) -> (b g) ... c", g=self.groups_)
@@ -153,34 +212,60 @@ class Deconv(nn.Module):
     def _merge_h(self, h: Array) -> Array:
         return rearrange(h, "(b g) c s ... -> b (g c) s ...", g=self.groups_)
 
-    # -- core math
+    # -- core math (merged-channel layout: x (B,*S,C), s (B,*S,g*sc),
+    #    h (B, C, sc, *k) group-major)
 
     def initialize(self, x: Array) -> tuple[Array, Array]:
         """Nonnegative source (learned head) and filter (shared bank) init."""
         batch = x.shape[0]
         h = jnp.broadcast_to(self.h0, (batch, *self.h0.shape)).astype(x.dtype)
-        s = self.linear(x)
+        s = self.linear(x).astype(x.dtype)
         return jax.nn.relu(s), jax.nn.relu(h)
 
+    def _solve_dtype(self, x: Array) -> jnp.dtype:
+        """Multiplicative updates run in >= f32 (eps=1e-16 is bf16-unsafe)."""
+        return x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+
     def _conv(self, s: Array, h: Array) -> Array:
-        return batched_conv(s, h, self.padding_)
+        """``conv(s, h)``: source (g*sc ch) -> signal (C ch), grouped."""
+        return batched_conv(s, h, self.padding_, self.groups_)
+
+    def _adjoint_h(self, h: Array) -> Array:
+        """Adjoint filter: (B, C, sc, *k) -> (B, g*sc, C/g, *k), spatially flipped."""
+        B = h.shape[0]
+        g, cg, sc = self.groups_, self.channels // self.groups_, self.source_channels_
+        ha = h.reshape(B, g, cg, sc, *self.kernel_size_)
+        ha = jnp.swapaxes(ha, 2, 3).reshape(B, g * sc, cg, *self.kernel_size_)
+        return jnp.flip(ha, axis=tuple(range(3, ha.ndim)))
 
     def normalize_h(self, h: Array) -> Array:
-        axes = tuple(d for d in range(h.ndim) if d not in (0, 2))
-        return (h + self.eps) / (jnp.sum(h, axis=axes, keepdims=True) + self.eps)
+        # Per-group filter normalization (reference: deconvolution.py, on the
+        # split layout where dims (0, 2) are batch*group and source channel).
+        hs = self._split_h(h)
+        axes = tuple(d for d in range(hs.ndim) if d not in (0, 2))
+        hs = (hs + self.eps) / (jnp.sum(hs, axis=axes, keepdims=True) + self.eps)
+        return self._merge_h(hs)
 
     def update_s(self, x: Array, s: Array, h: Array) -> Array:
-        # x ≈ conv(s, h): multiplicative update on the source.
-        h_adj = jnp.flip(jnp.swapaxes(h, 1, 2), axis=tuple(range(3, h.ndim)))
-        numerator = self._conv(x, h_adj) + self.eps
-        denominator = self._conv(self._conv(s, h), h_adj) + self.eps
+        # x ≈ conv(s, h): multiplicative update on the source (merged layout;
+        # reference: deconvolution.py:136-141 on the split layout).
+        h_adj = self._adjoint_h(h)
+        numerator = batched_conv(x, h_adj, self.padding_, self.groups_) + self.eps
+        denominator = (
+            batched_conv(self._conv(s, h), h_adj, self.padding_, self.groups_)
+            + self.eps
+        )
         return s * numerator / denominator
 
     def update_h(self, x: Array, s: Array, h: Array) -> Array:
-        # x ≈ conv(s, h): multiplicative update on the filter.
-        numerator = sconv(s, x, self.padding_) + self.eps
-        denominator = sconv(s, self._conv(s, h), self.padding_) + self.eps
-        return h * jnp.swapaxes(numerator / denominator, 1, 2)
+        # x ≈ conv(s, h): multiplicative update on the filter (rare path,
+        # update_filter=True only; runs in the reference's split layout).
+        xs, ss, hs = self._split_x(x), self._split_x(s), self._split_h(h)
+        numerator = sconv(ss, xs, self.padding_) + self.eps
+        denominator = (
+            sconv(ss, batched_conv(ss, hs, self.padding_), self.padding_) + self.eps
+        )
+        return self._merge_h(hs * jnp.swapaxes(numerator / denominator, 1, 2))
 
     def _update(self, x: Array, s: Array, h: Array) -> tuple[Array, Array]:
         if self.update_source:
@@ -210,33 +295,21 @@ class Deconv(nn.Module):
 
     def fit(self, x: Array) -> tuple[Array, Array]:
         """Return the fitted ``(s, h)`` in merged-channel layout."""
+        out_dtype = x.dtype
         s, h = self.initialize(x)
-        if self.groups_ != 1:
-            x, s, h = self._split_x(x), self._split_x(s), self._split_h(h)
-        s, h = self.iterative_update(x, s, h)
-        if self.groups_ != 1:
-            s, h = self._merge_x(s), self._merge_h(h)
-        return s, h
+        dt = self._solve_dtype(x)
+        s, h = self.iterative_update(x.astype(dt), s.astype(dt), h.astype(dt))
+        return s.astype(out_dtype), h.astype(out_dtype)
 
     def reconstruct(self, s: Array, h: Array) -> Array:
-        if self.groups_ != 1:
-            s, h = self._split_x(s), self._split_h(h)
-        x_hat = self._conv(s, h)
-        if self.groups_ != 1:
-            x_hat = self._merge_x(x_hat)
-        return x_hat
+        return self._conv(s, h)
 
     def loss(self, x: Array, s: Array, h: Array) -> Array:
-        if self.groups_ != 1:
-            x = self._split_x(x)
-            s, h = self._split_x(s), self._split_h(h)
         return relative_error(x, self._conv(s, h))
 
     def __call__(self, x: Array) -> Array:
+        out_dtype = x.dtype
         s, h = self.initialize(x)
-        if self.groups_ != 1:
-            x, s, h = self._split_x(x), self._split_x(s), self._split_h(h)
-        s, _ = self.iterative_update(x, s, h)
-        if self.groups_ != 1:
-            s = self._merge_x(s)
-        return s
+        dt = self._solve_dtype(x)
+        s, _ = self.iterative_update(x.astype(dt), s.astype(dt), h.astype(dt))
+        return s.astype(out_dtype)

@@ -15,7 +15,7 @@ from jax import Array
 from ..factorization.deconv import Deconv
 from ..layers.basic import Conv, LayerNorm, Linear, MLP, resolve_activation
 from ..utils.helpers import partialize
-from .unet import UNet
+from .unet import UNet, spec_accepts
 
 __all__ = ["DeconvMixer", "DeconverBlock", "DeconverStage", "Stem", "Deconver"]
 
@@ -36,9 +36,10 @@ class DeconvMixer(nn.Module):
     eps: float = 1e-16
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
+    dtype: Any = None
 
     def setup(self) -> None:
-        self.in_proj = Linear(self.in_channels, self.out_channels, bias=False)
+        self.in_proj = Linear(self.in_channels, self.out_channels, bias=False, dtype=self.dtype)
         self.deconv = Deconv(
             self.out_channels,
             kernel_size=self.kernel_size,
@@ -50,6 +51,7 @@ class DeconvMixer(nn.Module):
             eps=self.eps,
             num_iters=self.num_iters,
             num_grad_iters=self.num_grad_iters,
+            dtype=self.dtype,
         )
         self.act_fn = resolve_activation(self.act)
         groups = self.out_channels if self.groups == -1 else self.groups
@@ -59,7 +61,7 @@ class DeconvMixer(nn.Module):
             else self.source_channels
         )
         deconv_out = groups * source_channels
-        self.out_proj = Linear(deconv_out, self.out_channels)
+        self.out_proj = Linear(deconv_out, self.out_channels, dtype=self.dtype)
         self.drop = nn.Dropout(rate=self.dropout)
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -88,10 +90,12 @@ class DeconverBlock(nn.Module):
     eps: float = 1e-16
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
+    dtype: Any = None
 
     def setup(self) -> None:
         norm = partialize(self.norm)
-        self.norm1 = norm(self.channels)
+        norm_kwargs = {"dtype": self.dtype} if spec_accepts(self.norm, "dtype") else {}
+        self.norm1 = norm(self.channels, **norm_kwargs)
         self.dcm = DeconvMixer(
             self.channels,
             self.channels,
@@ -106,9 +110,10 @@ class DeconverBlock(nn.Module):
             eps=self.eps,
             num_iters=self.num_iters,
             num_grad_iters=self.num_grad_iters,
+            dtype=self.dtype,
         )
-        self.norm2 = norm(self.channels)
-        self.mlp = MLP(self.channels, ratio=self.mlp_ratio, dropout=self.dropout)
+        self.norm2 = norm(self.channels, **norm_kwargs)
+        self.mlp = MLP(self.channels, ratio=self.mlp_ratio, dropout=self.dropout, dtype=self.dtype)
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = x + self.dcm(self.norm1(x), deterministic=deterministic)
@@ -138,10 +143,14 @@ class DeconverStage(nn.Module):
     eps: float = 1e-16
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
+    dtype: Any = None
 
     def setup(self) -> None:
         if self.in_channels != self.out_channels:
-            self.adapter_ = partialize(self.adapter)(self.in_channels, self.out_channels)
+            adapter_kwargs = {"dtype": self.dtype} if spec_accepts(self.adapter, "dtype") else {}
+            self.adapter_ = partialize(self.adapter)(
+                self.in_channels, self.out_channels, **adapter_kwargs
+            )
         else:
             self.adapter_ = None
         self.blocks = [
@@ -160,6 +169,7 @@ class DeconverStage(nn.Module):
                 eps=self.eps,
                 num_iters=self.num_iters,
                 num_grad_iters=self.num_grad_iters,
+                dtype=self.dtype,
                 name=f"block{i}",
             )
             for i in range(self.depth)
@@ -223,6 +233,7 @@ class Deconver(nn.Module):
     eps: float = 1e-16
     num_iters: int = 2
     num_grad_iters: Optional[int] = None
+    dtype: Any = None
     remat: bool = False
 
     def setup(self) -> None:
@@ -244,6 +255,7 @@ class Deconver(nn.Module):
             eps=self.eps,
             num_iters=self.num_iters,
             num_grad_iters=self.num_grad_iters,
+            dtype=self.dtype,
         )
         n_stages = len(self.encoder_depth) + len(self.decoder_depth)
         block = n_stages * [(DeconverStage, block_kwargs)]
@@ -263,6 +275,7 @@ class Deconver(nn.Module):
             head=self.head,
             num_deep_supr=self.num_deep_supr,
             data_format=self.data_format,
+            dtype=self.dtype,
             remat=self.remat,
         )
 
