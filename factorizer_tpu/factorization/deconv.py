@@ -71,6 +71,17 @@ def batched_conv(
         w = jnp.transpose(h[:, :, 0].reshape(B, c, -1), (0, 2, 1))  # (B, taps, C)
         return depthwise_conv3d(s, w, ks)
 
+    if 1 < groups < s.shape[-1]:
+        # XLA:TPU's general grouped-conv emitter materializes temps with the
+        # group dims minor — 64x lane-padding blowups that OOM at volume
+        # scale (measured: an 8 GB temp for a 128 MB logical tensor at
+        # groups=8, 128^3).  Expand the weights to a block-diagonal dense
+        # kernel instead: identical math (off-block weights are zero), dense
+        # weights are small (<= C_out*C_in*prod(k)), and the dense emitter is
+        # well-behaved.  Depthwise (groups == channels) stays on the grouped
+        # path, which XLA special-cases efficiently.
+        groups, h = 1, _block_diag_weights(h, groups)
+
     def one(s1: Array, h1: Array) -> Array:
         rhs = jnp.moveaxis(h1, (0, 1), (-1, -2))  # (*k, in_per_group, C_out)
         return jax.lax.conv_general_dilated(
@@ -79,6 +90,19 @@ def batched_conv(
         )[0]
 
     return jax.vmap(one)(s, h)
+
+
+def _block_diag_weights(h: Array, groups: int) -> Array:
+    """(B, C_out, in_per_group, *k) grouped weights -> dense block-diagonal
+    (B, C_out, groups*in_per_group, *k), group-major on both channel axes."""
+    B, c_out, ipg, *ks = h.shape
+    cg = c_out // groups
+    hr = h.reshape(B, groups, cg, 1, ipg, *ks)
+    mask = jnp.eye(groups, dtype=h.dtype).reshape(
+        groups, 1, groups, 1, *([1] * len(ks))
+    )
+    hd = hr * mask  # (B, g, cg, g, ipg, *k), zero off the diagonal blocks
+    return hd.reshape(B, c_out, groups * ipg, *ks)
 
 
 # The v1 Pallas depthwise stencil kernel measured ~14.6 ms per 128^3 conv —
