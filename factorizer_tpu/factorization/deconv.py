@@ -117,8 +117,6 @@ def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
     """Route depthwise 3-D 'same'-padded convs through the Pallas stencil
     kernel on TPU (see ops/pallas/depthwise_conv.py).  CPU keeps the lax
     path."""
-    import jax as _jax
-
     if not USE_PALLAS_DEPTHWISE:
         return False
     if s.ndim != 5 or groups != s.shape[-1]:
@@ -132,7 +130,7 @@ def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
 
     if not supports_depthwise(s.shape, ks):
         return False
-    return any(d.platform == "tpu" for d in _jax.devices())
+    return any(d.platform == "tpu" for d in jax.devices())
 
 
 def sconv(a: Array, b: Array, padding: Sequence[tuple[int, int]]) -> Array:
@@ -243,7 +241,7 @@ class Deconv(nn.Module):
         """Nonnegative source (learned head) and filter (shared bank) init."""
         batch = x.shape[0]
         h = jnp.broadcast_to(self.h0, (batch, *self.h0.shape)).astype(x.dtype)
-        s = self.linear(x).astype(x.dtype)
+        s = self.linear(x)
         return jax.nn.relu(s), jax.nn.relu(h)
 
     def _solve_dtype(self, x: Array) -> jnp.dtype:
@@ -317,23 +315,38 @@ class Deconv(nn.Module):
                 s, h = self._update(x, s, h)
         return s, h
 
+    def _initialize_solve(self, x: Array) -> tuple[Array, Array, Array]:
+        """Solve-dtype ``(x, s, h)`` without a lossy intermediate downcast:
+        the linear head's (>= f32) output and the f32 ``h0`` go straight to
+        the solve dtype instead of round-tripping through a bf16 ``x.dtype``.
+        """
+        dt = self._solve_dtype(x)
+        batch = x.shape[0]
+        h = jnp.broadcast_to(self.h0, (batch, *self.h0.shape)).astype(dt)
+        s = self.linear(x).astype(dt)
+        return x.astype(dt), jax.nn.relu(s), jax.nn.relu(h)
+
     def fit(self, x: Array) -> tuple[Array, Array]:
         """Return the fitted ``(s, h)`` in merged-channel layout."""
         out_dtype = x.dtype
-        s, h = self.initialize(x)
-        dt = self._solve_dtype(x)
-        s, h = self.iterative_update(x.astype(dt), s.astype(dt), h.astype(dt))
+        xs, s, h = self._initialize_solve(x)
+        s, h = self.iterative_update(xs, s, h)
         return s.astype(out_dtype), h.astype(out_dtype)
 
     def reconstruct(self, s: Array, h: Array) -> Array:
         return self._conv(s, h)
 
     def loss(self, x: Array, s: Array, h: Array) -> Array:
+        # Reference semantics: per-(batch*group) relative error on the split
+        # layout (deconvolution.py loss over grouped tensors) — a (B*g,)
+        # vector of per-group ratios, not one joint ratio per batch item.
+        if self.groups_ != 1:
+            x, s, h = self._split_x(x), self._split_x(s), self._split_h(h)
+            return relative_error(x, batched_conv(s, h, self.padding_))
         return relative_error(x, self._conv(s, h))
 
     def __call__(self, x: Array) -> Array:
         out_dtype = x.dtype
-        s, h = self.initialize(x)
-        dt = self._solve_dtype(x)
-        s, _ = self.iterative_update(x.astype(dt), s.astype(dt), h.astype(dt))
+        xs, s, h = self._initialize_solve(x)
+        s, _ = self.iterative_update(xs, s, h)
         return s.astype(out_dtype)

@@ -15,7 +15,7 @@ from jax import Array
 from ..factorization.deconv import Deconv
 from ..layers.basic import Conv, LayerNorm, Linear, MLP, resolve_activation
 from ..utils.helpers import partialize
-from .unet import UNet, spec_accepts
+from .unet import UNet, dtype_kwargs, spec_accepts
 
 __all__ = ["DeconvMixer", "DeconverBlock", "DeconverStage", "Stem", "Deconver"]
 
@@ -94,7 +94,7 @@ class DeconverBlock(nn.Module):
 
     def setup(self) -> None:
         norm = partialize(self.norm)
-        norm_kwargs = {"dtype": self.dtype} if spec_accepts(self.norm, "dtype") else {}
+        norm_kwargs = dtype_kwargs(self.norm, self.dtype)
         self.norm1 = norm(self.channels, **norm_kwargs)
         self.dcm = DeconvMixer(
             self.channels,
@@ -147,7 +147,7 @@ class DeconverStage(nn.Module):
 
     def setup(self) -> None:
         if self.in_channels != self.out_channels:
-            adapter_kwargs = {"dtype": self.dtype} if spec_accepts(self.adapter, "dtype") else {}
+            adapter_kwargs = dtype_kwargs(self.adapter, self.dtype)
             self.adapter_ = partialize(self.adapter)(
                 self.in_channels, self.out_channels, **adapter_kwargs
             )

@@ -25,7 +25,7 @@ from ..layers.basic import LayerNorm, Linear, MLP, resolve_activation
 from ..layers.pos_embed import PositionalEmbedding
 from ..ops.reshape import Matricize
 from ..utils.helpers import has_args, partialize
-from .unet import UNet, spec_accepts
+from .unet import UNet, dtype_kwargs, spec_accepts
 
 __all__ = ["FactMixer", "FactorizerBlock", "FactorizerStage", "Factorizer"]
 
@@ -249,7 +249,7 @@ class FactorizerBlock(nn.Module):
 
     def setup(self) -> None:
         norm = partialize(self.norm)
-        norm_kwargs = {"dtype": self.dtype} if spec_accepts(self.norm, "dtype") else {}
+        norm_kwargs = dtype_kwargs(self.norm, self.dtype)
         self.norm1 = norm(self.channels, **norm_kwargs)
         self.fact = FactMixer(
             self.channels,
@@ -306,7 +306,7 @@ class FactorizerStage(nn.Module):
 
     def setup(self) -> None:
         if self.in_channels != self.out_channels:
-            adapter_kwargs = {"dtype": self.dtype} if spec_accepts(self.adapter, "dtype") else {}
+            adapter_kwargs = dtype_kwargs(self.adapter, self.dtype)
             self.adapter_ = partialize(self.adapter)(
                 self.in_channels, self.out_channels, **adapter_kwargs
             )

@@ -58,10 +58,29 @@ def spec_accepts(spec: Any, key: str) -> bool:
         return False
 
 
+def dtype_kwargs(spec: Any, dtype: Any) -> dict:
+    """``{"dtype": dtype}`` when it should be threaded into ``spec``.
+
+    Empty when ``dtype`` is None (never override a spec's own choice with
+    None), when the spec does not accept ``dtype``, or when the spec already
+    binds one (e.g. ``(LayerNorm, {"dtype": jnp.float32})`` keeps its f32
+    norms under a bf16 model)."""
+    if dtype is None or not spec_accepts(spec, "dtype"):
+        return {}
+    if "dtype" in getattr(partialize(spec), "keywords", {}):
+        return {}
+    return {"dtype": dtype}
+
+
 def build_block(spec: Any, *args: Any, name: Optional[str] = None, **kwargs: Any):
-    """Instantiate a block spec, dropping kwargs it does not accept."""
+    """Instantiate a block spec, dropping kwargs it does not accept.
+
+    ``dtype`` follows :func:`dtype_kwargs` semantics: a None model dtype or
+    a dtype the spec itself binds is never overridden."""
     fn = partialize(spec)
     kept = {k: v for k, v in kwargs.items() if spec_accepts(spec, k)}
+    if "dtype" in kept and not dtype_kwargs(spec, kept["dtype"]):
+        del kept["dtype"]
     if name is not None and spec_accepts(spec, "name"):
         kept["name"] = name
     return fn(*args, **kept)

@@ -84,15 +84,12 @@ def _dw_kernel(x_ref, g_ref, dw_ref, *, ks: tuple[int, int, int], bs: int, s3: i
     g = g_ref[0].astype(jnp.float32)
     i, j = pl.program_id(1), pl.program_id(2)
 
-    taps = k1 * k2 * k3
-    part = []
-    t = 0
+    part = []  # tap order: row-major over (k1, k2, k3) offsets
     for a in range(k1):
         for b in range(k2):
             for c in range(k3):
                 prod = g * x[a : a + bs, b : b + bs, c : c + s3, :]
                 part.append(jnp.sum(prod, axis=(0, 1, 2)))
-                t += 1
     block = jnp.stack(part, axis=0)  # (taps, C)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))

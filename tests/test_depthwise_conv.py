@@ -26,7 +26,7 @@ def _lax_depthwise(x, w, ks):
     p = len(ks)
 
     def one(x1, w1):
-        rhs = jnp.moveaxis(w1.reshape(*ks, c), -1, -1)[..., None, :]
+        rhs = w1.reshape(*ks, c)[..., None, :]
         return jax.lax.conv_general_dilated(
             x1[None], rhs, (1,) * p, [(k // 2, k // 2) for k in ks],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),

@@ -104,3 +104,17 @@ def test_conv_bias_and_bf16():
 
     g = jax.grad(loss)(v["params"])
     assert all(jnp.all(jnp.isfinite(a)) for a in jax.tree.leaves(g))
+
+
+def test_dtype_kwargs_never_overrides_spec_dtype():
+    """A dtype bound inside a block spec survives the model-level dtype
+    (and a None model dtype never overrides a spec's choice)."""
+    from factorizer_tpu.layers.basic import LayerNorm
+    from factorizer_tpu.models.unet import dtype_kwargs
+
+    assert dtype_kwargs(LayerNorm, jnp.bfloat16) == {"dtype": jnp.bfloat16}
+    assert dtype_kwargs(LayerNorm, None) == {}
+    assert dtype_kwargs((LayerNorm, {"dtype": jnp.float32}), jnp.bfloat16) == {}
+    assert dtype_kwargs((Conv, {"kernel_size": 3}), jnp.bfloat16) == {
+        "dtype": jnp.bfloat16
+    }
