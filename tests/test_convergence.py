@@ -64,3 +64,42 @@ def test_factorizer_learns_synthetic_spheres():
         dices.append(float(dice_metric(pred, jnp.asarray(yi[None]))[0, 0]))
     mean_dice = float(np.mean(dices))
     assert mean_dice > 0.85, mean_dice  # measured ~0.97 at 100 steps
+
+
+def test_deconver_learns_synthetic_spheres():
+    """Deconver end-to-end learning through the merged-layout grouped-conv
+    solve (groups=2 exercises the block-diagonal dense route in both the
+    forward and the backward of training)."""
+    rng = np.random.default_rng(1)
+    model = ftx.Deconver(
+        in_channels=1, out_channels=1, spatial_dims=3,
+        encoder_depth=(1, 1), encoder_width=(8, 16), strides=(1, 2),
+        decoder_depth=(1,),
+        kernel_size=(3, 3, 3), groups=2, ratio=2, num_iters=1, mlp_ratio=2,
+    )
+    tx = make_adamw(lr=3e-3, weight_decay=1e-2, warmup_steps=10, total_steps=80)
+    x0, _ = _make_case(rng)
+    state = create_train_state(
+        model, tx, jnp.asarray(x0[None]), jax.random.key(0), train_kwargs={"train": False}
+    )
+    step = make_train_step(model)
+
+    key = jax.random.key(2)
+    first_loss = None
+    for i in range(80):
+        xs, ys = zip(*[_make_case(rng) for _ in range(4)])
+        batch = {"image": jnp.asarray(np.stack(xs)), "label": jnp.asarray(np.stack(ys))}
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    assert float(metrics["loss"]) < 0.3 * first_loss  # actually trained
+
+    dices = []
+    for _ in range(8):
+        xi, yi = _make_case(rng)
+        logits = model.apply(state.variables(), jnp.asarray(xi[None]))
+        pred = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        dices.append(float(dice_metric(pred, jnp.asarray(yi[None]))[0, 0]))
+    mean_dice = float(np.mean(dices))
+    assert mean_dice > 0.80, mean_dice

@@ -136,6 +136,43 @@ def test_deconv_parity(groups, update_filter):
     np.testing.assert_allclose(y, y_ref, atol=1e-10, rtol=1e-8)
 
 
+@pytest.mark.parametrize("groups", [1, 2, 4, -1])
+def test_deconv_gradient_parity(groups):
+    """d(sum(deconv(x)^2))/dx matches torch through the merged-layout grouped
+    convolutions (and the block-diagonal dense route for 1 < groups < C),
+    including the num_grad_iters stop_gradient phases."""
+    rng = np.random.default_rng(7)
+    B, C, H, W = 2, 8, 12, 12
+    x = rng.random((B, C, H, W))
+
+    ref = ft_ref.Deconv(
+        C, kernel_size=(3, 3), ratio=2, groups=groups, num_iters=2, num_grad_iters=1
+    ).double()
+    xt = torch.from_numpy(x).requires_grad_(True)
+    torch.sum(ref(xt) ** 2).backward()
+    g_ref = xt.grad.numpy()
+
+    ours = ftx.Deconv(
+        C, kernel_size=(3, 3), ratio=2, groups=groups, num_iters=2, num_grad_iters=1
+    )
+    params = {
+        "h0": jnp.asarray(ref.init.h0.detach().numpy()),
+        "linear": {
+            "linear": {
+                "kernel": jnp.asarray(ref.init.linear.linear.weight.detach().numpy()[:, :, 0].T),
+                "bias": jnp.asarray(ref.init.linear.linear.bias.detach().numpy()),
+            }
+        },
+    }
+
+    def loss(x_cl):
+        return jnp.sum(ours.apply({"params": params}, x_cl) ** 2)
+
+    g = jax.jit(jax.grad(loss))(jnp.moveaxis(jnp.asarray(x), 1, -1))
+    g = np.moveaxis(np.asarray(g), -1, 1)
+    np.testing.assert_allclose(g, g_ref, atol=1e-9, rtol=1e-7)
+
+
 def test_kmeans_parity():
     rng = np.random.default_rng(4)
     # float32: the reference's scatter-based update hardcodes float32 for the
