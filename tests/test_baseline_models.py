@@ -175,3 +175,73 @@ class TestUNETR:
         vs = jax.eval_shape(m.init, jax.random.key(0), jnp.zeros((1, 2, 128, 128, 128)))
         n = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(vs["params"]))
         assert 88e6 < n < 102e6, n
+
+
+class TestTrainStepSmoke:
+    """One real train step (DiceCE + AdamW) per baseline family: the zoo
+    bundles *train* these models, so autodiff through every conv
+    formulation (im2col stem, space-to-depth down, depth-to-space up, k1
+    head, patch embeds) must produce finite grads and a finite loss."""
+
+    def _one_step(self, model, x, y):
+        import optax
+
+        from factorizer_tpu.train.losses import dice_ce_loss
+        from factorizer_tpu.train.trainer import TrainState
+
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.key(0), x
+        )
+        tx = optax.adamw(1e-3)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            buffers=variables.get("buffers", {}),
+            opt_state=tx.init(variables["params"]), tx=tx,
+        )
+
+        @jax.jit
+        def step(state):
+            def loss_fn(params):
+                v = {"params": params}
+                if state.buffers:
+                    v["buffers"] = state.buffers
+                out = model.apply(v, x, train=True, rngs={"dropout": jax.random.key(1)})
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return dice_ce_loss(out, y)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss, grads
+
+        state, loss, grads = step(state)
+        assert bool(jnp.isfinite(loss)), float(loss)
+        assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
+
+    def test_segresnet(self):
+        m = ftx.SegResNet(in_channels=2, out_channels=1, init_filters=8,
+                          blocks_down=(1, 2, 2), blocks_up=(1, 1))
+        x = jax.random.uniform(jax.random.key(2), (1, 2, 16, 16, 16))
+        y = (jax.random.uniform(jax.random.key(3), (1, 1, 16, 16, 16)) > 0.5).astype(jnp.float32)
+        self._one_step(m, x, y)
+
+    def test_dynunet(self):
+        m = ftx.DynUNet(in_channels=2, out_channels=1, kernel_size=(3, 3, 3),
+                        strides=(1, 2, 2), filters=(8, 16, 32))
+        x = jax.random.uniform(jax.random.key(2), (1, 2, 16, 16, 16))
+        y = (jax.random.uniform(jax.random.key(3), (1, 1, 16, 16, 16)) > 0.5).astype(jnp.float32)
+        self._one_step(m, x, y)
+
+    def test_swinunetr(self):
+        m = ftx.SwinUNETR(in_channels=2, out_channels=1, img_size=(32, 32, 32),
+                          feature_size=6, window_size=4)
+        x = jax.random.uniform(jax.random.key(2), (1, 2, 32, 32, 32))
+        y = (jax.random.uniform(jax.random.key(3), (1, 1, 32, 32, 32)) > 0.5).astype(jnp.float32)
+        self._one_step(m, x, y)
+
+    def test_unetr(self):
+        m = ftx.UNETR(in_channels=2, out_channels=1, img_size=(32, 32, 32),
+                      feature_size=4, hidden_size=48, mlp_dim=96, num_heads=3,
+                      num_layers=3)
+        x = jax.random.uniform(jax.random.key(2), (1, 2, 32, 32, 32))
+        y = (jax.random.uniform(jax.random.key(3), (1, 1, 32, 32, 32)) > 0.5).astype(jnp.float32)
+        self._one_step(m, x, y)
