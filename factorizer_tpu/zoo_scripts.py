@@ -30,9 +30,34 @@ logger = logging.getLogger("factorizer_tpu")
 __all__ = ["evaluate_bundle", "ensemble_inference", "fuse_brats_labels", "load_model_checkpoint"]
 
 
+def _resolve_checkpoint_dir(ckpt_path):
+    """Accept every checkpoint layout the framework produces.
+
+    - a one-shot ``save_checkpoint`` directory (StandardCheckpointer),
+    - a ``CheckpointManager`` step directory (``<step>/default`` item), or
+    - a ``CheckpointManager`` ROOT (the trainer's ``ckpt_dir``): resolves to
+      the latest step — so ``evaluate.sh --ckpt_path <train ckpt_dir>`` works
+      directly on training output (the reference's CheckpointSaver writes a
+      flat ``model.pt``; our trainer keeps orbax step dirs).
+    """
+    from pathlib import Path
+
+    p = Path(ckpt_path)
+    if (p / "default").is_dir():
+        return p / "default"
+    if p.is_dir():
+        steps = sorted(
+            (d for d in p.iterdir() if d.is_dir() and d.name.isdigit()),
+            key=lambda d: int(d.name),
+        )
+        if steps:
+            return _resolve_checkpoint_dir(steps[-1])
+    return p
+
+
 def load_model_checkpoint(model, ckpt_path, roi_size: Sequence[int]):
     """Restore a checkpoint's model variables (optimizer state is ignored)."""
-    restored = restore_checkpoint(ckpt_path)  # raw pytree, no template needed
+    restored = restore_checkpoint(_resolve_checkpoint_dir(ckpt_path))
     variables = {"params": restored["params"]}
     if restored.get("buffers"):
         variables["buffers"] = restored["buffers"]

@@ -158,3 +158,30 @@ def test_ensemble_inference_aot(ckpt_and_data):
         aot_compile=True,
     )
     assert len(saved) == 2 and all(p is not None for p in saved)
+
+
+def test_evaluate_loads_trainer_checkpoint_root(ckpt_and_data, tmp_path):
+    """evaluate_bundle accepts the TRAINER's ckpt_dir directly (orbax
+    CheckpointManager step dirs), not just one-shot checkpoints — the
+    train.sh -> evaluate.sh handoff."""
+    import optax
+
+    from factorizer_tpu.train.checkpoint import CheckpointManager
+    from factorizer_tpu.zoo_scripts import load_model_checkpoint
+
+    model, tmp, data_dir, datalist, _ = ckpt_and_data
+    state = create_train_state(
+        model, optax.adamw(1e-3), np.zeros((1, 1, *SP), np.float32),
+        jax.random.key(0), {"train": False},
+    )
+    mgr = CheckpointManager(tmp_path / "ckpt_root", max_to_keep=2)
+    mgr.save(1, state)
+    mgr.save(2, state)
+    mgr.close()  # blocks until async saves land
+
+    # root -> latest step; step dir -> its item; both load the same params
+    v_root = load_model_checkpoint(model, tmp_path / "ckpt_root", SP)
+    v_step = load_model_checkpoint(model, tmp_path / "ckpt_root" / "2", SP)
+    a = jax.tree.leaves(v_root["params"])[0]
+    b = jax.tree.leaves(v_step["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
