@@ -38,22 +38,72 @@ def run(
     return parser
 
 
-def main(argv: Optional[Sequence[str]] = None) -> None:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    ap = argparse.ArgumentParser(prog="factorizer_tpu.bundle")
-    sub = ap.add_subparsers(dest="command", required=True)
-    runp = sub.add_parser("run", help="execute a bundle program")
-    runp.add_argument("--config_file", action="append", required=True)
-    runp.add_argument("--run_id", action="append", default=None)
-    runp.add_argument("overrides", nargs="*", help="key=value overrides")
-    args = ap.parse_args(argv)
+def _normalize_cli_overrides(tokens: list[str]) -> list[str]:
+    """Accept both override syntaxes: positional ``key=value`` and the
+    reference CLI's ``--key value`` / ``--key=value`` pairs
+    (``monai.bundle run`` forwards arbitrary ``--key value`` flags,
+    reference docs/train.sh:115-119 — our docs/*.sh forward ``"$@"`` the
+    same way)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok.startswith("--"):
+            key = tok[2:]
+            if "=" in key:
+                out.append(key)
+            else:
+                if i + 1 >= len(tokens):
+                    raise SystemExit(f"override flag --{key} is missing a value")
+                out.append(f"{key}={tokens[i + 1]}")
+                i += 1
+        else:
+            out.append(tok)
+        i += 1
+    return out
 
-    if args.command == "run":
-        run(
-            args.config_file,
-            run_id=args.run_id or ["initialize", "run"],
-            overrides=args.overrides,
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI: ``python -m factorizer_tpu.bundle run --config_file F [overrides]``.
+
+    Overrides use either positional ``key=value`` or the reference CLI's
+    ``--key value`` / ``--key=value`` forms.  Parsed with a manual scan —
+    argparse's positional/optional intermixing separates ``--key`` flags
+    from their values, mispairing the overrides.
+    """
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] != "run":
+        raise SystemExit(
+            "usage: factorizer_tpu.bundle run --config_file FILE "
+            "[--config_file OVERLAY ...] [--run_id ID ...] [key=value | --key value ...]"
         )
+    config_files: list[str] = []
+    run_ids: list[str] = []
+    override_tokens: list[str] = []
+    i = 1
+    while i < len(argv):
+        tok = argv[i]
+        if tok in ("--config_file", "--run_id"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{tok} is missing a value")
+            (config_files if tok == "--config_file" else run_ids).append(argv[i + 1])
+            i += 2
+        elif tok.startswith("--config_file="):
+            config_files.append(tok.split("=", 1)[1])
+            i += 1
+        elif tok.startswith("--run_id="):
+            run_ids.append(tok.split("=", 1)[1])
+            i += 1
+        else:
+            override_tokens.append(tok)
+            i += 1
+    if not config_files:
+        raise SystemExit("at least one --config_file is required")
+    run(
+        config_files,
+        run_id=run_ids or ["initialize", "run"],
+        overrides=_normalize_cli_overrides(override_tokens),
+    )
 
 
 if __name__ == "__main__":

@@ -127,7 +127,10 @@ class ConfigParser:
     ) -> None:
         self.config = dict(config)
         self.registry = dict(registry) if registry is not None else _default_registry()
-        self.globals = dict(_eval_globals())
+        # ``$`` expressions see the ``_target_`` registry names too, so
+        # helpers like ``$partition_datalist(...)`` (train_multidevice.yaml)
+        # resolve without module paths; core eval names win on collision.
+        self.globals = {**self.registry, **_eval_globals()}
         if globals_:
             self.globals.update(globals_)
         self._cache: dict[str, Any] = {}

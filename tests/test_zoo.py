@@ -128,3 +128,50 @@ def test_bundle_synthetic_end_to_end(tmp_path):
     events = list((tmp_path / "out").glob("events.out.tfevents.*"))
     if trainer._tb is not None:  # tensorboardX present in this env
         assert events and events[0].stat().st_size > 500
+
+
+def test_cli_override_forms():
+    """The CLI accepts positional key=value AND the reference-style
+    --key value / --key=value override forms (reference docs/train.sh
+    forwards arbitrary flags into monai.bundle run)."""
+    from factorizer_tpu.config.bundle import _normalize_cli_overrides
+
+    got = _normalize_cli_overrides(
+        ["a=1", "--max_epochs", "5", "--roi_size=[16,16,16]",
+         "--network_def#solver", "hals"]
+    )
+    assert got == ["a=1", "max_epochs=5", "roi_size=[16,16,16]",
+                   "network_def#solver=hals"]
+
+    with pytest.raises(SystemExit):
+        _normalize_cli_overrides(["--dangling"])
+
+
+def test_cli_main_runs_program(tmp_path):
+    """python -m factorizer_tpu.bundle style entry executes a tiny program
+    with mixed-form overrides."""
+    from factorizer_tpu.config.bundle import main
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "x: 1\n"
+        "msg: $str(@x) + '-' + str(@y)\n"
+        "out_file: null\n"
+        "run: [\"$open(@out_file, 'w').write(@msg)\"]\n"
+    )
+    out = tmp_path / "o.txt"
+    main([
+        "run", "--config_file", str(cfg),
+        "--y", "7", f"out_file={out}",
+    ])
+    assert out.read_text() == "1-7"
+
+
+def test_expressions_see_registry_names():
+    """$-expressions resolve registry helpers without module paths
+    (train_multidevice.yaml uses $partition_datalist(...))."""
+    from factorizer_tpu.config.parser import ConfigParser
+
+    p = ConfigParser({"items": [1, 2, 3, 4],
+                      "shard": "$partition_datalist(@items, 2, 0)"})
+    assert p["shard"] == [1, 3] or len(p["shard"]) == 2
