@@ -33,9 +33,18 @@ def test_bundle_overlays_parse(bundle):
     for overlay in ["train_multidevice.yaml", "evaluate.yaml", "inference_aot.yaml"]:
         cfg = load_config_files([configs / "train.yaml", configs / overlay])
         assert isinstance(cfg, dict)
-    # standalone inference parses
+    # standalone inference parses — AND its network resolves to a real
+    # module through the overlay merge (a former self-referencing
+    # ``network_def: '@network_def'`` line clobbered the train.yaml
+    # definition, so ensemble_inference received a raw config dict)
     cfg = load_config_files([configs / "train.yaml", configs / "inference.yaml"])
     assert "inferencer" in cfg
+    import flax.linen as nn
+
+    from factorizer_tpu.config.parser import ConfigParser
+
+    net = ConfigParser(cfg)["network_def"]
+    assert isinstance(net, nn.Module), type(net)
 
 
 def test_bundle_tiny_network_forward():
