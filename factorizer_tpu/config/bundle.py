@@ -53,7 +53,7 @@ def _normalize_cli_overrides(tokens: list[str]) -> list[str]:
             if "=" in key:
                 out.append(key)
             else:
-                if i + 1 >= len(tokens):
+                if i + 1 >= len(tokens) or tokens[i + 1].startswith("--"):
                     raise SystemExit(f"override flag --{key} is missing a value")
                 out.append(f"{key}={tokens[i + 1]}")
                 i += 1

@@ -151,8 +151,28 @@ def _push_record(data: dict, key: str, record: dict) -> None:
 # ---------------------------------------------------------------- IO
 
 
+def _load_image_any(path) -> "NiftiImage":
+    """Load a NIfTI volume or a 2-D raster image (PNG/JPEG/BMP).
+
+    Raster images get an identity affine; this lets datalists that reference
+    the raw FIVES PNGs (as the reference's shipped manifest does —
+    reference: model_zoo/deconver_fives/configs/datalist.json) run without a
+    separate conversion pass.
+    """
+    suffix = str(path).lower().rsplit(".", 1)[-1]
+    if suffix in ("png", "jpg", "jpeg", "bmp"):
+        from PIL import Image
+
+        from .nifti import NiftiImage
+
+        arr = np.asarray(Image.open(path))
+        return NiftiImage(data=arr, affine=np.eye(4), header={"raster": True})
+    return load_nifti(path)
+
+
 class LoadImaged(MapTransform):
-    """Load NIfTI volume(s); a list of paths is stacked as channels.
+    """Load NIfTI volume(s) or 2-D raster images; a list of paths is stacked
+    as channels.
 
     Produces ``data[key]`` with channel-first layout ``(C, *S)`` when
     ``ensure_channel_first`` and ``data[f"{key}_meta"]`` with the affine.
@@ -177,11 +197,11 @@ class LoadImaged(MapTransform):
         for key in self.key_iterator(d):
             paths = d[key]
             if isinstance(paths, (list, tuple)):
-                imgs = [load_nifti(p) for p in paths]
+                imgs = [_load_image_any(p) for p in paths]
                 arr = np.stack([np.asarray(im.data) for im in imgs], axis=0)
                 affine = imgs[0].affine
             else:
-                im = load_nifti(paths)
+                im = _load_image_any(paths)
                 arr, affine = np.asarray(im.data), im.affine
                 if self.ensure_channel_first:
                     if self.channel_dim is not None and arr.ndim >= 3:

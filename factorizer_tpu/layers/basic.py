@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -178,6 +179,13 @@ class MLP(nn.Module):
         return x
 
 
+# Upper bound on the im2col column-tensor size (bytes).  The flagship stem at
+# batch 2, 4ch, 128^3 f32 builds a ~1.8 GB column tensor and still wins on the
+# 16 GB v5e, but doubling again approaches HBM pressure from the rest of the
+# graph; beyond this the lax conv path is used instead.
+_IM2COL_BYTES_CAP = int(float(os.environ.get("FTX_IM2COL_BYTES_CAP", 4e9)))
+
+
 def _conv_dim_numbers(p: int):
     s = "DHW"[3 - p :]
     return (f"N{s}C", f"{s}IO", f"N{s}C")
@@ -273,7 +281,14 @@ class _FastConv(nn.Module):
             and all(s % k == 0 for s, k in zip(spatial, ks))
         ):
             y = _space_to_depth_matmul(x, kernel, ks)
-        elif simple and all(s == 1 for s in st) and math.prod(ks) * in_ch <= 128:
+        elif (
+            simple
+            and all(s == 1 for s in st)
+            and math.prod(ks) * in_ch <= 128
+            # cap the materialized column tensor (prod(ks) x input) so large
+            # batch/volume stems can't balloon to multi-GB temporaries
+            and x.size * math.prod(ks) * x.dtype.itemsize <= _IM2COL_BYTES_CAP
+        ):
             y = _im2col_matmul(x, kernel, ks, self.padding)
         else:
             y = jax.lax.conv_general_dilated(

@@ -15,7 +15,7 @@ from jax import Array
 from ..factorization.deconv import Deconv
 from ..layers.basic import Conv, LayerNorm, Linear, MLP, resolve_activation
 from ..utils.helpers import partialize
-from .unet import UNet, dtype_kwargs, spec_accepts
+from .unet import UNet, dtype_kwargs
 
 __all__ = ["DeconvMixer", "DeconverBlock", "DeconverStage", "Stem", "Deconver"]
 

@@ -15,6 +15,7 @@ replaces the reference's ``init=`` kwarg (Flax reserves ``Module.init``); the
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -28,6 +29,12 @@ from ..utils.helpers import has_args, partialize
 from .unet import UNet, dtype_kwargs, spec_accepts
 
 __all__ = ["FactMixer", "FactorizerBlock", "FactorizerStage", "Factorizer"]
+
+logger = logging.getLogger(__name__)
+
+# One-time fallback notices (per distinct reason) so a 5-stage model doesn't
+# repeat itself; ``factorize_options={"explain": True}`` logs every time.
+_LOGGED_FALLBACKS: set[str] = set()
 
 # Factorization-option fields shared by FactMixer and its parents.
 _FACT_FIELDS = (
@@ -149,6 +156,56 @@ class FactMixer(nn.Module):
             fact.num_grad_steps,
         )
 
+    def _fused_fallback_reason(self, out: Array) -> Optional[str]:
+        """Why this mixer can NOT take the fused windowed kernel (None = it can).
+
+        The fallback paths are 2-3x slower (PERFORMANCE.md), so when a config
+        is one flag away from eligibility the reason is logged once (and
+        always with ``factorize_options={"explain": True}``).
+        """
+        opts = self.factorize_options or {}
+        if opts.get("use_windowed") is False:
+            return "factorize_options['use_windowed'] is False (explicit opt-out)"
+        if opts.get("use_pallas") is False:
+            return "factorize_options['use_pallas'] is False (pure-XLA mode)"
+        if self._fw is None:
+            from ..factorization.nmf import MatrixFactorization as _MF
+
+            if not isinstance(self.factorize_op, _MF):
+                return "factorize op is not a MatrixFactorization"
+            if len(self.spatial_size) != 3:
+                return "kernel requires a 3-D volume (2-D configs use the flat path)"
+            return (
+                "reshape is not a channels-last (SW)Matricize with cubic "
+                "patches (p0 == p1 == p2) and a head_dim"
+            )
+        fact = self.factorize_op
+        mats, d, p = self._fw
+        if not isinstance(fact.solver, str):
+            return "composite/custom solver objects are outside kernel coverage"
+        if fact.project is not None:
+            return "solver with a projection step is outside kernel coverage"
+        from ..factorization.inits import RandomInit
+
+        if not isinstance(fact.initializer, RandomInit):
+            return "kernel covers RandomInit initializers only (svd/nndsvd fall back)"
+        if fact.rank_ != 1:
+            return f"kernel covers rank 1 only (rank={fact.rank_})"
+        if fact.solver not in ("hals", "mu"):
+            return f"kernel covers hals/mu solvers only (solver={fact.solver!r})"
+        if len(out.shape) != 5:
+            return f"expected a (B, S1, S2, S3, C) tensor, got {len(out.shape)}-D"
+        _, s1, s2, s3, c = out.shape
+        if c % d != 0:
+            return f"channels {c} not divisible by head_dim {d}"
+        if s1 % p or s2 % p or s3 % p:
+            return f"spatial size {(s1, s2, s3)} not divisible by patch_size {p}"
+        import jax
+
+        if not opts.get("use_windowed") and jax.devices()[0].platform != "tpu":
+            return "not on TPU (set factorize_options={'use_windowed': True} to force)"
+        return None
+
     def _use_fused_windowed(self, out: Array) -> bool:
         # Default ON where eligible: the v2 row-blocked kernel beats the
         # fold -> flat kernel -> unfold path 2-3x at every stage scale on
@@ -159,27 +216,21 @@ class FactMixer(nn.Module):
         # freely; spatial (sp) shardings get resharded around the call, so
         # sp users should prefer ``use_windowed: False`` (the flat kernel
         # partitions along the window axis instead).
+        reason = self._fused_fallback_reason(out)
+        if reason is None:
+            return True
         opts = self.factorize_options or {}
-        if self._fw is None or opts.get("use_windowed") is False:
-            return False
-        if opts.get("use_pallas") is False:
-            return False
-        import jax
-
-        from ..ops.pallas.windowed_nmf_kernel import supports_windowed
-
-        if not opts.get("use_windowed") and jax.devices()[0].platform != "tpu":
-            return False
-        fact = self.factorize_op
-        mats, d, p = self._fw
-        # Solver options beyond the kernel's coverage fall back to XLA.
-        if not isinstance(fact.solver, str) or fact.project is not None:
-            return False
-        from ..factorization.inits import RandomInit
-
-        if not isinstance(fact.initializer, RandomInit):
-            return False
-        return supports_windowed(out.shape, d, p, fact.solver, fact.rank_)
+        explicit = (
+            opts.get("use_windowed") is False or opts.get("use_pallas") is False
+        )
+        if opts.get("explain") or (not explicit and reason not in _LOGGED_FALLBACKS):
+            _LOGGED_FALLBACKS.add(reason)
+            logger.info(
+                "FactMixer %s falls back to the unfused factorization path "
+                "(2-3x slower where the fused kernel applies): %s",
+                self.name or "", reason,
+            )
+        return False
 
     def _split_shift_eligible(self) -> bool:
         """Per-shift processing is exact whenever the factorization treats

@@ -25,7 +25,9 @@ DATASETS = {
         roi_size=[128, 128, 128],
         pix_size=[1.0, 1.0, 1.0],
         batch_size=2,
-        modalities=["t1c", "t1n", "t2f", "t2w"],
+        # channel order matches the datalist/crawler order (t1n, t1c, t2w, t2f
+        # — reference: scripts/make_datalist.py:37-42), NOT alphabetical.
+        modalities=["t1n", "t1c", "t2w", "t2f"],
         labels={"0": "background", "1": "NCR/NET", "2": "ED", "3": "ET"},
         regions=["et", "tc", "wt"],
         label_encoder="BraTSOneHotEncoderd",
@@ -190,9 +192,16 @@ def to_yaml(obj, indent=0) -> str:
 def transforms_yaml(ds: dict) -> tuple[list, list]:
     keys = ["image", "label"]
     load: dict = {"_target_": "LoadImaged", "keys": keys, "ensure_channel_first": True}
-    if ds["modalities"] == ["rgb"]:
-        load["channel_dim"] = -1  # RGB PNGs converted to (H, W, 3) NIfTI
     det: list = [load]
+    if ds["modalities"] == ["rgb"]:
+        load["channel_dim"] = -1  # (H, W, 3) rasters / converted NIfTIs -> (3, H, W)
+        # Binarize the vessel mask; handles both raw FIVES PNGs (0/255, the
+        # shipped datalist) and make_datalist-converted NIfTIs (0/1)
+        # (reference: deconver_fives/configs/train.yaml Lambdad x[0:1]/255).
+        det.append(
+            {"_target_": "Lambdad", "keys": "label",
+             "func": "$lambda x: (x[0:1] > 0.5).astype('uint8')"}
+        )
     if ds["label_encoder"]:
         det.append({"_target_": ds["label_encoder"], "keys": "label"})
     if ds["spatial_dims"] == 3:
@@ -379,8 +388,10 @@ def inference_yaml(ds: dict, dataset: str) -> str:
         "roi_size": ds["roi_size"],
         "pix_size": ds["pix_size"],
         # all fold checkpoints -> mean ensemble (reference: inference.yaml:13,107-152)
+        # network_def comes from the layered train.yaml (docs/inference.sh
+        # passes both config files); re-declaring it here as '@network_def'
+        # would be a self-reference cycle.
         "ckpt_paths": "$sorted(glob.glob(@bundle_root + '/models/fold*'))",
-        "network_def": "@network_def",
         "inferencer": {
             "_target_": "factorizer_tpu.zoo_scripts.ensemble_inference",
             "model": "@network_def",
@@ -764,6 +775,22 @@ DATALIST_PLACEHOLDER = json.dumps(
 )
 
 
+def datalist_json(dataset: str) -> str:
+    """The shipped case manifest for ``dataset``.
+
+    Vendored byte-identical from the reference bundles (pure data: case ids,
+    dataset-relative paths, fold assignments — reference:
+    model_zoo/*/configs/datalist.json, identical across models per dataset)
+    so every bundle is runnable as shipped given $DATA_DIR, like the
+    reference's.  Falls back to the placeholder when the vendored manifest is
+    absent; scripts/make_datalist.py regenerates it from a dataset tree.
+    """
+    vendored = ZOO / "_datalists" / f"{dataset}.json"
+    if vendored.exists():
+        return vendored.read_text()
+    return DATALIST_PLACEHOLDER
+
+
 def docs_shell(model: str, dataset: str) -> dict[str, str]:
     base = f"{model}_{dataset}"
     common = """\
@@ -827,7 +854,7 @@ def main() -> None:
         write(b / "configs" / "inference_aot.yaml", inference_aot_yaml())
         write(b / "configs" / "metadata.json", metadata_json(model, dataset))
         write(b / "configs" / "logging.conf", LOGGING_CONF)
-        write(b / "configs" / "datalist.json", DATALIST_PLACEHOLDER)
+        write(b / "configs" / "datalist.json", datalist_json(dataset))
         write(b / "scripts" / "make_datalist.py", make_datalist_py(dataset))
         for name, content in bundle_scripts(dataset).items():
             write(b / "scripts" / name, content)
