@@ -64,11 +64,15 @@ def batched_conv(
     dn = _DIM_NUMBERS[p]
 
     if _use_depthwise_kernel(s, h, padding, groups):
-        from ..ops.pallas.depthwise_conv import depthwise_conv3d
-
         ks = tuple(h.shape[3:])
         B, c = h.shape[0], h.shape[1]
         w = jnp.transpose(h[:, :, 0].reshape(B, c, -1), (0, 2, 1))  # (B, taps, C)
+        from ..ops.pallas.depthwise_packed import depthwise_conv3d_packed, supports_packed
+
+        if USE_PACKED_DEPTHWISE and supports_packed(s.shape, ks):
+            return depthwise_conv3d_packed(s, w, ks)
+        from ..ops.pallas.depthwise_conv import depthwise_conv3d
+
         return depthwise_conv3d(s, w, ks)
 
     if 1 < groups < s.shape[-1]:
@@ -105,20 +109,21 @@ def _block_diag_weights(h: Array, groups: int) -> Array:
     return hd.reshape(B, c_out, groups * ipg, *ks)
 
 
-# The v1 Pallas depthwise stencil kernel measured ~14.6 ms per 128^3 conv —
-# 3x SLOWER than XLA's emitter (~5 ms incl. layout copy): its 27 tap slices
-# relayout the whole block per tap (misaligned sublane offsets + major-dim
-# gather), and the explicit zero-pads did not fuse.  Kept for interpret-mode
-# reference/testing; OFF until a roll-based v2 beats the XLA path.
-USE_PALLAS_DEPTHWISE = False
+# Depthwise Pallas kernel routing.  The lane-packed v2
+# (ops/pallas/depthwise_packed.py) is the default on TPU: it packs 128/C
+# consecutive s3 positions into the VPU lanes so the 27-tap stencil runs at
+# full lane occupancy (the round-2 v1 kernels ran at C/128 occupancy and
+# LOST to XLA's emitter — v1 is kept in ops/pallas/depthwise_conv.py as the
+# documented starting point and interpret-mode oracle, gated off).
+import os as _os
+
+USE_PACKED_DEPTHWISE = _os.environ.get("FTX_PACKED_DEPTHWISE", "1") != "0"
+USE_PALLAS_DEPTHWISE = False  # the v1 stencil; measured slower than XLA
 
 
 def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
-    """Route depthwise 3-D 'same'-padded convs through the Pallas stencil
-    kernel on TPU (see ops/pallas/depthwise_conv.py).  CPU keeps the lax
-    path."""
-    if not USE_PALLAS_DEPTHWISE:
-        return False
+    """Route depthwise 3-D 'same'-padded convs through a Pallas stencil
+    kernel on TPU.  CPU keeps the lax path."""
     if s.ndim != 5 or groups != s.shape[-1]:
         return False
     if h.shape[1] != groups or h.shape[2] != 1:
@@ -126,11 +131,18 @@ def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
     ks = tuple(h.shape[3:])
     if any(lo != k // 2 or hi != k // 2 for (lo, hi), k in zip(padding, ks)):
         return False
-    from ..ops.pallas.depthwise_conv import supports_depthwise
-
-    if not supports_depthwise(s.shape, ks):
+    if not any(d.platform == "tpu" for d in jax.devices()):
         return False
-    return any(d.platform == "tpu" for d in jax.devices())
+    if USE_PACKED_DEPTHWISE:
+        from ..ops.pallas.depthwise_packed import supports_packed
+
+        if supports_packed(s.shape, ks):
+            return True
+    if USE_PALLAS_DEPTHWISE:
+        from ..ops.pallas.depthwise_conv import supports_depthwise
+
+        return supports_depthwise(s.shape, ks)
+    return False
 
 
 def sconv(a: Array, b: Array, padding: Sequence[tuple[int, int]]) -> Array:

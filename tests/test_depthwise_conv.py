@@ -87,3 +87,48 @@ def test_custom_vjp_wires_through():
     gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-3, rtol=1e-4)
+
+
+# ---- lane-packed v2 (ops/pallas/depthwise_packed.py), the default TPU path
+
+from factorizer_tpu.ops.pallas import depthwise_packed as dpk
+
+
+@pytest.mark.parametrize("shape,ks", [
+    ((1, 8, 8, 8, 16), (3, 3, 3)),     # pack=8, rows=1
+    ((2, 8, 8, 16, 32), (3, 3, 3)),    # pack=4, rows=4, batch>1
+])
+def test_packed_forward_matches_lax(shape, ks):
+    assert dpk.supports_packed(shape, ks)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape), jnp.float32)
+    w = jnp.asarray(rs.randn(shape[0], int(np.prod(ks)), shape[-1]), jnp.float32)
+    y = dpk._fwd_impl(x, w, ks)
+    y_ref = _lax_depthwise(x, w, ks)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_packed_vjp_matches_lax():
+    ks = (3, 3, 3)
+    shape = (1, 8, 8, 16, 32)
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(*shape), jnp.float32)
+    w = jnp.asarray(rs.randn(1, 27, 32), jnp.float32)
+    g = jnp.asarray(rs.randn(*shape), jnp.float32)
+
+    y_ref, vjp_ref = jax.vjp(lambda x, w: _lax_depthwise(x, w, ks), x, w)
+    dx_ref, dw_ref = vjp_ref(g)
+
+    dx = dpk._fwd_impl(g, dpk._flip_taps(w, ks), ks)
+    dw = dpk._dw_impl(x, g, ks)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=1e-3, rtol=1e-4)
+
+
+def test_packed_eligibility():
+    ok = dpk.supports_packed
+    assert ok((1, 8, 8, 16, 32), (3, 3, 3))
+    assert not ok((1, 8, 8, 8, 8), (3, 3, 3))      # s3*c = 64 < 128
+    assert not ok((1, 8, 8, 16, 32), (2, 3, 3))    # even kernel
+    assert not ok((1, 8, 8, 16, 256), (3, 3, 3))   # c > 128
+    assert not ok((1, 8, 8, 15, 32), (3, 3, 3))    # s3*c % 128 != 0

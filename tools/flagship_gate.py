@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Flagship-scale regression gate (VERDICT round 2, item 6).
+
+Runs the configuration the bench and the paper care about — 5 stages,
+SWMatricize p=8 d=8 x4 shifts, 128^3, bf16, fused Pallas kernels — on the
+real TPU: one forward and one full train step.  Asserts finiteness and a
+latency ceiling (>20% regression fails), so a flagship-only break (e.g. in
+the fused kernel's 4-shift path) cannot pass CI silently.
+
+Run as part of the round's verify flow:
+
+    python tools/flagship_gate.py            # exits 1 on regression
+    python tools/flagship_gate.py --update   # rewrite the stored baselines
+
+Baselines live in tools/flagship_gate.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+BASELINE_PATH = Path(__file__).with_suffix(".json")
+TOLERANCE = 1.20  # fail at >20% regression
+
+
+def measure() -> dict:
+    import bench
+
+    from __graft_entry__ import _flagship
+
+    model = _flagship(dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.key(1), (1, 2, 128, 128, 128), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    step = bench._make_step(model, variables)
+    first = bench._chained(step, x, 2)
+    if first != first:  # NaN
+        raise SystemExit("GATE FAIL: flagship forward produced NaN")
+    t_lo = bench._time(step, x, 2)
+    t_hi = bench._time(step, x, 10)
+    fwd_s = (t_hi - t_lo) / 8
+
+    train_s = bench._train_step_time(jnp.bfloat16)
+    return {"forward_s": fwd_s, "train_step_s_b2": train_s}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true", help="store measured values as the new baseline")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    got = measure()
+    print(json.dumps({**got, "elapsed_s": round(time.time() - t0, 1)}))
+
+    if args.update or not BASELINE_PATH.exists():
+        BASELINE_PATH.write_text(json.dumps({k: round(v, 4) for k, v in got.items()}, indent=2))
+        print(f"baseline written to {BASELINE_PATH}")
+        return 0
+
+    base = json.loads(BASELINE_PATH.read_text())
+    ok = True
+    for key, value in got.items():
+        ceiling = base[key] * TOLERANCE
+        status = "ok" if value <= ceiling else "REGRESSION"
+        if value > ceiling:
+            ok = False
+        print(f"{key}: {value:.4f} s (baseline {base[key]:.4f}, ceiling {ceiling:.4f}) {status}")
+    print("GATE PASS" if ok else "GATE FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

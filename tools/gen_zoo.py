@@ -419,6 +419,21 @@ def inference_aot_yaml() -> str:
     )
 
 
+# Reference-published eval targets (model_zoo/<task>/configs/metadata.json:40-45;
+# the FIVES metadata value is internally inconsistent with its README's "90%" —
+# the metadata number is used here).
+EVAL_TARGETS = {
+    "brats23": {
+        "mean_dice": 0.8518,
+        "dice_tc": 0.8559,
+        "dice_wt": 0.9026,
+        "dice_et": 0.7905,
+    },
+    "isles22": {"mean_dice": 0.75},
+    "fives": {"mean_dice": 0.8518},
+}
+
+
 def metadata_json(model: str, dataset: str) -> str:
     ds = DATASETS[dataset]
     return json.dumps(
@@ -450,7 +465,11 @@ def metadata_json(model: str, dataset: str) -> str:
                 },
             },
             "labels": ds["labels"],
-            "eval_metrics": {"to_be_measured": "run docs/evaluate.sh"},
+            # The reference's published 5-fold CV Dice for this task
+            # (reference: model_zoo/*/configs/metadata.json eval_metrics;
+            # identical across that zoo's models per task, i.e. task-level
+            # targets).  tools/reproduce.py compares measured Dice to these.
+            "eval_metrics": EVAL_TARGETS[dataset],
         },
         indent=4,
     )
