@@ -172,12 +172,50 @@ def _default_collate(items: list[dict]) -> dict:
     return out
 
 
-class DataLoader:
-    """Thread-pool loader with background prefetch.
+# ---- process-pool worker plumbing ------------------------------------------
+# Forked workers inherit the dataset via this module global (set just before
+# the fork), so neither the dataset nor its transform chain is ever pickled;
+# only indices go in and transformed arrays come back.
+_shared_dataset: Optional["Dataset"] = None
+_worker_id: Optional[int] = None
 
-    Orders of magnitude simpler than torch's process-based loader but serves
-    the same role: overlap host-side IO/augmentation with device compute.
-    Each epoch reshuffles with a per-epoch seed for reproducibility.
+
+def get_worker_id() -> Optional[int]:
+    """The loader worker id in a forked pool worker; None on the main process.
+
+    Used by ``RandomizableTransform.rng``: fork copies the parent's
+    ``SeedSequence`` spawn counters into every worker, so without a distinct
+    per-worker key all workers would draw identical augmentation streams.
+    """
+    return _worker_id
+
+
+def _pool_initializer(counter) -> None:
+    global _worker_id
+    with counter.get_lock():
+        _worker_id = int(counter.value)
+        counter.value += 1
+
+
+def _getitem_shared(idx: int):
+    return _shared_dataset[idx]
+
+
+class DataLoader:
+    """Prefetching loader with thread- or process-pool workers.
+
+    Serves the role of torch's process-based loader (reference:
+    train.yaml:190 ``num_workers: 8``): overlap host-side IO/augmentation
+    with device compute.  Each epoch reshuffles with a per-epoch seed for
+    reproducibility.
+
+    ``use_processes=True`` runs the per-item work in forked worker
+    processes (ProcessPoolExecutor) instead of threads — numpy/scipy
+    augmentation only partly releases the GIL, so CPU-bound transform
+    chains (e.g. ``RandAffined`` on 4x128^3 volumes) need processes to
+    scale past ~1 core; measure with tools/bench_input.py.  Workers
+    inherit the dataset by fork; only indices and the transformed arrays
+    cross the process boundary.
     """
 
     def __init__(
@@ -190,6 +228,7 @@ class DataLoader:
         collate_fn: Callable = _default_collate,
         seed: int = 0,
         prefetch: int = 2,
+        use_processes: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -199,6 +238,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.seed = seed
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -229,18 +269,59 @@ class DataLoader:
                 yield self.collate_fn([self.dataset[i] for i in b])
             return
 
-        from concurrent.futures import ThreadPoolExecutor
-
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def make_pool():
+            if self.use_processes:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                global _shared_dataset
+                _shared_dataset = self.dataset  # inherited by the fork below
+                ctx = mp.get_context("fork")
+                counter = ctx.Value("i", 0)
+                return ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=ctx,
+                    initializer=_pool_initializer,
+                    initargs=(counter,),
+                )
+            from concurrent.futures import ThreadPoolExecutor
+
+            return ThreadPoolExecutor(self.num_workers)
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self.collate_fn(items))
+            with make_pool() as pool:
+                if self.use_processes:
+                    # keep a bounded window of in-flight items so parallelism
+                    # spans batch boundaries without unbounded memory
+                    window = self.num_workers + self.batch_size
+                    flat = [i for b in batches for i in b]
+                    futs: dict[int, Any] = {}
+                    submitted = taken = 0
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        while submitted < len(flat) and submitted - taken < window:
+                            futs[submitted] = pool.submit(_getitem_shared, flat[submitted])
+                            submitted += 1
+                        items = []
+                        for _ in b:
+                            items.append(futs.pop(taken).result())
+                            taken += 1
+                            if submitted < len(flat):
+                                futs[submitted] = pool.submit(
+                                    _getitem_shared, flat[submitted]
+                                )
+                                submitted += 1
+                        q.put(self.collate_fn(items))
+                else:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        q.put(self.collate_fn(items))
             q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -133,10 +133,27 @@ class RandomizableTransform(MapTransform):
     @property
     def rng(self) -> np.random.Generator:
         local = self._local
-        if getattr(local, "epoch", None) != self._rng_epoch:
+        from .dataset import get_worker_id
+
+        wid = get_worker_id()
+        if (
+            getattr(local, "epoch", None) != self._rng_epoch
+            or getattr(local, "wid", -1) != wid
+        ):
             with self._spawn_lock:
-                child = self._seed_seq.spawn(1)[0]
+                if wid is None:
+                    child = self._seed_seq.spawn(1)[0]
+                else:
+                    # forked pool worker: fork copied the parent's spawn
+                    # counter into every worker, so spawn() would hand all
+                    # workers the SAME stream; derive a distinct
+                    # deterministic one from the worker id instead
+                    child = np.random.SeedSequence(
+                        entropy=self._seed_seq.entropy,
+                        spawn_key=(0x57AB, wid),
+                    )
                 local.epoch = self._rng_epoch
+            local.wid = wid
             local.rng = np.random.Generator(np.random.PCG64(child))
         return local.rng
 

@@ -224,3 +224,22 @@ class TestConfig:
         p = ConfigParser({"a": "@b", "b": "@a"})
         with pytest.raises(ValueError):
             p["a"]
+
+
+class TestProcessLoader:
+    def test_process_pool_loader(self):
+        """use_processes=True delivers correct batches and DISTINCT
+        augmentation streams per forked worker (fork copies SeedSequence
+        spawn counters, so naive spawning would duplicate streams)."""
+        t = T.RandShiftIntensityd(["x"], prob=1.0, offsets=(0.0, 100.0))
+        t.set_random_state(7)
+        data = [{"x": np.zeros((4,), np.float32), "id": f"c{i}"} for i in range(8)]
+        ds = Dataset(data, transform=t)
+        dl = DataLoader(ds, batch_size=2, num_workers=2, use_processes=True)
+        batches = list(dl)
+        assert len(batches) == 4
+        xs = np.concatenate([b["x"][:, 0] for b in batches])
+        assert xs.shape == (8,)
+        # all items augmented, and not all identical (distinct worker streams)
+        assert (xs != 0).all()
+        assert len(np.unique(np.round(xs, 6))) > 1
