@@ -284,12 +284,52 @@ class Deconv(nn.Module):
         # x ≈ conv(s, h): multiplicative update on the source (merged layout;
         # reference: deconvolution.py:136-141 on the split layout).
         h_adj = self._adjoint_h(h)
+        if self._packed_chain_eligible(x, s, h):
+            return self._update_s_packed(x, s, h, h_adj)
         numerator = batched_conv(x, h_adj, self.padding_, self.groups_) + self.eps
         denominator = (
             batched_conv(self._conv(s, h), h_adj, self.padding_, self.groups_)
             + self.eps
         )
         return s * numerator / denominator
+
+    def _packed_chain_eligible(self, x: Array, s: Array, h: Array) -> bool:
+        """Depthwise update chains run packed-resident when the kernel
+        applies: the three convs and the elementwise ratio stay in the
+        packed ``(B, S1, S2, S3*C/128, 128)`` logical shape, so only the
+        chain endpoints pay a layout conversion (round-3 trace: per-conv
+        natural<->packed conversions were 31 ms of the 92 ms Deconver
+        forward — XLA's preferred layouts for (..., C<128) tensors clash
+        with Mosaic's standard-layout operands at every kernel boundary)."""
+        if not USE_PACKED_DEPTHWISE:
+            return False
+        if self.groups_ != self.channels or self.source_channels_ != 1:
+            return False
+        if x.shape != s.shape or x.ndim != 5:
+            return False
+        if not any(d.platform == "tpu" for d in jax.devices()):
+            return False
+        from ..ops.pallas.depthwise_packed import supports_packed
+
+        return supports_packed(x.shape, self.kernel_size_)
+
+    def _update_s_packed(self, x: Array, s: Array, h: Array, h_adj: Array) -> Array:
+        from ..ops.pallas.depthwise_packed import depthwise_conv3d_packed_core
+
+        ks = self.kernel_size_
+        B, s1, s2, s3, c = x.shape
+        rows = s3 * c // 128
+
+        def taps(hh):
+            return jnp.transpose(hh[:, :, 0].reshape(B, c, -1), (0, 2, 1))
+
+        w, w_adj = taps(h), taps(h_adj)
+        xp = x.reshape(B, s1, s2, rows, 128)
+        sp = s.reshape(B, s1, s2, rows, 128)
+        num = depthwise_conv3d_packed_core(xp, w_adj, ks, c) + self.eps
+        rec = depthwise_conv3d_packed_core(sp, w, ks, c)
+        den = depthwise_conv3d_packed_core(rec, w_adj, ks, c) + self.eps
+        return (sp * num / den).reshape(x.shape)
 
     def update_h(self, x: Array, s: Array, h: Array) -> Array:
         # x ≈ conv(s, h): multiplicative update on the filter (rare path,

@@ -48,7 +48,11 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["depthwise_conv3d_packed", "supports_packed"]
+__all__ = [
+    "depthwise_conv3d_packed",
+    "depthwise_conv3d_packed_core",
+    "supports_packed",
+]
 
 LANES = 128
 
@@ -153,12 +157,6 @@ def _dw_kernel(x_ref, g_ref, dw_ref, *, ks, bs, rows, c, s3):
         dw_ref[0] = dw_ref[0] + block
 
 
-def _pack(x: Array, r1: int, r2: int) -> Array:
-    B, s1, s2, s3, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
-    return xp.reshape(B, s1 + 2 * r1, s2 + 2 * r2, s3 * c // LANES, LANES)
-
-
 def _specs(B, s1, s2, rows, r1, r2, bs):
     in_spec = pl.BlockSpec(
         (
@@ -181,45 +179,73 @@ def _specs(B, s1, s2, rows, r1, r2, bs):
 
 def _fwd_impl(x: Array, w: Array, ks: tuple[int, int, int]) -> Array:
     B, s1, s2, s3, c = x.shape
+    xp = x.reshape(B, s1, s2, s3 * c // LANES, LANES)
+    return _fwd_packed_impl(xp, w, ks, c).reshape(x.shape)
+
+
+def _dw_impl(x: Array, g: Array, ks: tuple[int, int, int]) -> Array:
+    B, s1, s2, s3, c = x.shape
+    xp = x.reshape(B, s1, s2, s3 * c // LANES, LANES)
+    gp = g.reshape(B, s1, s2, s3 * c // LANES, LANES)
+    return _dw_packed_impl(xp, gp, ks, c)
+
+
+def _flip_taps(w: Array, ks: tuple[int, int, int]) -> Array:
+    B, taps, c = w.shape
+    return jnp.flip(w.reshape(B, *ks, c), axis=(1, 2, 3)).reshape(B, taps, c)
+
+
+# ---- packed-resident entry points ------------------------------------------
+# XLA's layout assignment prefers transposed layouts for channels-last
+# (..., S3, C<128) tensors (it effectively lane-packs them itself inside its
+# fusions), while Mosaic pins pallas operands/results to the standard layout
+# — so every natural-shape kernel call is bracketed by multi-ms layout-copy
+# pairs (round-3 trace: 31 ms of copies in the Deconver forward).  Keeping a
+# conv CHAIN in the packed logical shape ``(B, S1, S2, S3*C/128, 128)``
+# makes the pallas boundaries layout-clean: only the chain's endpoints pay
+# one conversion each (deconv._update_s_packed uses this).
+
+
+def _fwd_packed_impl(xp: Array, w: Array, ks: tuple[int, int, int], c: int) -> Array:
+    """Packed-resident forward: ``xp (B, S1, S2, rows, 128)`` -> same shape."""
+    B, s1, s2, rows, _ = xp.shape
     k1, k2, k3 = ks
     r1, r2 = k1 // 2, k2 // 2
-    rows = s3 * c // LANES
+    s3 = rows * LANES // c
     bs = _block_size(s1, s2)
     taps = math.prod(ks)
 
-    xp = _pack(x, r1, r2)
-    wp = jnp.tile(w, (1, 1, LANES // c))  # (B, taps, 128); lane l -> chan l%C
+    xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
+    wp = jnp.tile(w, (1, 1, LANES // c))
     in_spec, out_spec = _specs(B, s1, s2, rows, r1, r2, bs)
     w_spec = pl.BlockSpec(
         (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
-        out_shape=jax.ShapeDtypeStruct((B, s1, s2, rows, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
         grid=(B, s1 // bs, s2 // bs),
         in_specs=[in_spec, w_spec],
         out_specs=out_spec,
         interpret=not _on_tpu(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=2 * taps * x.size,
-            bytes_accessed=2 * x.dtype.itemsize * x.size,
+            flops=2 * taps * xp.size,
+            bytes_accessed=2 * xp.dtype.itemsize * xp.size,
             transcendentals=0,
         ),
-    )(xp, wp)
-    return y.reshape(B, s1, s2, s3, c)
+    )(xpp, wp)
 
 
-def _dw_impl(x: Array, g: Array, ks: tuple[int, int, int]) -> Array:
-    B, s1, s2, s3, c = x.shape
+def _dw_packed_impl(xp: Array, gp: Array, ks: tuple[int, int, int], c: int) -> Array:
+    B, s1, s2, rows, _ = xp.shape
     k1, k2, k3 = ks
     r1, r2 = k1 // 2, k2 // 2
-    rows = s3 * c // LANES
+    s3 = rows * LANES // c
     bs = _block_size(s1, s2)
     taps = math.prod(ks)
 
-    xp = _pack(x, r1, r2)
-    gp = g.reshape(B, s1, s2, rows, LANES)
+    xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
     in_spec, g_spec = _specs(B, s1, s2, rows, r1, r2, bs)
     out_spec = pl.BlockSpec(
         (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
@@ -233,18 +259,34 @@ def _dw_impl(x: Array, g: Array, ks: tuple[int, int, int]) -> Array:
         interpret=not _on_tpu(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=3 * taps * x.size,
-            bytes_accessed=2 * x.dtype.itemsize * x.size,
+            flops=3 * taps * xp.size,
+            bytes_accessed=2 * xp.dtype.itemsize * xp.size,
             transcendentals=0,
         ),
-    )(xp, gp)
-    # fold the packed copies: lane l carries channel l % C
+    )(xpp, gp)
     return jnp.sum(dw.reshape(B, taps, LANES // c, c), axis=2)
 
 
-def _flip_taps(w: Array, ks: tuple[int, int, int]) -> Array:
-    B, taps, c = w.shape
-    return jnp.flip(w.reshape(B, *ks, c), axis=(1, 2, 3)).reshape(B, taps, c)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv3d_packed_core(xp: Array, w: Array, ks: tuple[int, int, int], c: int) -> Array:
+    """Packed-resident depthwise conv: input/output stay in the packed
+    logical shape ``(B, S1, S2, S3*C/128, 128)``; ``w`` is ``(B, taps, C)``.
+    The backward also stays packed, so chained calls never relayout."""
+    return _fwd_packed_impl(xp, w, ks, c)
+
+
+def _dwcc_fwd(xp, w, ks, c):
+    return _fwd_packed_impl(xp, w, ks, c), (xp, w)
+
+
+def _dwcc_bwd(ks, c, res, g):
+    xp, w = res
+    dxp = _fwd_packed_impl(g, _flip_taps(w, ks), ks, c).astype(xp.dtype)
+    dw = _dw_packed_impl(xp, g, ks, c).astype(w.dtype)
+    return dxp, dw
+
+
+depthwise_conv3d_packed_core.defvjp(_dwcc_fwd, _dwcc_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

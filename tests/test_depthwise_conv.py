@@ -132,3 +132,29 @@ def test_packed_eligibility():
     assert not ok((1, 8, 8, 16, 32), (2, 3, 3))    # even kernel
     assert not ok((1, 8, 8, 16, 256), (3, 3, 3))   # c > 128
     assert not ok((1, 8, 8, 15, 32), (3, 3, 3))    # s3*c % 128 != 0
+
+
+def test_packed_chain_update_s_matches_lax(monkeypatch):
+    """Deconv's packed-resident update_s chain == the lax path (fwd + grad)."""
+    import factorizer_tpu as ftx
+    from factorizer_tpu.factorization import deconv as dc
+
+    d = ftx.Deconv(channels=16, kernel_size=(3, 3, 3), groups=-1, ratio=1, num_iters=2)
+    x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 8, 16), jnp.float32) + 0.1
+    v = d.init(jax.random.key(1), x)
+
+    y_ref = d.apply(v, x)  # CPU: chain ineligible -> lax path
+    monkeypatch.setattr(
+        dc.Deconv, "_packed_chain_eligible", lambda self, x, s, h: True
+    )
+    y_fast = d.apply(v, x)  # interpret-mode packed chain
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+    def loss(v):
+        return jnp.sum(d.apply(v, x) ** 2)
+
+    g_fast = jax.grad(loss)(v)
+    monkeypatch.undo()
+    g_ref = jax.grad(loss)(v)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=1e-3)
