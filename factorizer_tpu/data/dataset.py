@@ -47,8 +47,10 @@ def load_decathlon_datalist(
     if base_dir is not None:
         base = Path(base_dir)
 
+        _exts = (".nii", ".nii.gz", ".png", ".jpg", ".jpeg", ".bmp")
+
         def fix(v):
-            if isinstance(v, str) and (v.endswith(".nii") or v.endswith(".nii.gz")):
+            if isinstance(v, str) and v.lower().endswith(_exts):
                 return str(base / v)
             if isinstance(v, list):
                 return [fix(x) for x in v]
