@@ -206,65 +206,104 @@ def _flip_taps(w: Array, ks: tuple[int, int, int]) -> Array:
 # one conversion each (deconv._update_s_packed uses this).
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_fn(ks: tuple[int, int, int], c: int, partitioned: bool):
+    """Per-config forward callable ``(xp, w) -> y``, GSPMD-sharded along the
+    batch dim on multi-device meshes (each shard runs the kernel locally;
+    every other dim must stay replicated)."""
+
+    def local(xp, w):
+        B, s1, s2, rows, _ = xp.shape
+        k1, k2, k3 = ks
+        r1, r2 = k1 // 2, k2 // 2
+        s3 = rows * LANES // c
+        bs = _block_size(s1, s2)
+        taps = math.prod(ks)
+        xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
+        wp = jnp.tile(w, (1, 1, LANES // c))
+        in_spec, out_spec = _specs(B, s1, s2, rows, r1, r2, bs)
+        w_spec = pl.BlockSpec(
+            (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
+            out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+            grid=(B, s1 // bs, s2 // bs),
+            in_specs=[in_spec, w_spec],
+            out_specs=out_spec,
+            interpret=not _on_tpu(),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * taps * xp.size,
+                bytes_accessed=2 * xp.dtype.itemsize * xp.size,
+                transcendentals=0,
+            ),
+        )(xpp, wp)
+
+    if not partitioned:
+        return local
+    from .partitioning import make_batched_partitioned
+
+    return make_batched_partitioned(
+        local, n_batch_dims=1, n_operands=2, operand_ranks=(5, 3),
+        n_batched_operands=2,
+    )
+
+
 def _fwd_packed_impl(xp: Array, w: Array, ks: tuple[int, int, int], c: int) -> Array:
     """Packed-resident forward: ``xp (B, S1, S2, rows, 128)`` -> same shape."""
-    B, s1, s2, rows, _ = xp.shape
-    k1, k2, k3 = ks
-    r1, r2 = k1 // 2, k2 // 2
-    s3 = rows * LANES // c
-    bs = _block_size(s1, s2)
-    taps = math.prod(ks)
+    from .partitioning import multi_device
 
-    xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
-    wp = jnp.tile(w, (1, 1, LANES // c))
-    in_spec, out_spec = _specs(B, s1, s2, rows, r1, r2, bs)
-    w_spec = pl.BlockSpec(
-        (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+    return _fwd_fn(tuple(ks), c, multi_device())(xp, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _dw_fn(ks: tuple[int, int, int], c: int, partitioned: bool):
+    def local(xp, gp):
+        B, s1, s2, rows, _ = xp.shape
+        k1, k2, k3 = ks
+        r1, r2 = k1 // 2, k2 // 2
+        s3 = rows * LANES // c
+        bs = _block_size(s1, s2)
+        taps = math.prod(ks)
+        xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
+        in_spec, g_spec = _specs(B, s1, s2, rows, r1, r2, bs)
+        out_spec = pl.BlockSpec(
+            (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            functools.partial(_dw_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
+            out_shape=jax.ShapeDtypeStruct((B, taps, LANES), jnp.float32),
+            grid=(B, s1 // bs, s2 // bs),
+            in_specs=[in_spec, g_spec],
+            out_specs=out_spec,
+            interpret=not _on_tpu(),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * taps * xp.size,
+                bytes_accessed=2 * xp.dtype.itemsize * xp.size,
+                transcendentals=0,
+            ),
+        )(xpp, gp)
+
+    if not partitioned:
+        return local
+    from .partitioning import make_batched_partitioned
+
+    return make_batched_partitioned(
+        local, n_batch_dims=1, n_operands=2, operand_ranks=(5, 5),
+        n_batched_operands=2, result_rank=3,
     )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
-        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-        grid=(B, s1 // bs, s2 // bs),
-        in_specs=[in_spec, w_spec],
-        out_specs=out_spec,
-        interpret=not _on_tpu(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * taps * xp.size,
-            bytes_accessed=2 * xp.dtype.itemsize * xp.size,
-            transcendentals=0,
-        ),
-    )(xpp, wp)
 
 
 def _dw_packed_impl(xp: Array, gp: Array, ks: tuple[int, int, int], c: int) -> Array:
-    B, s1, s2, rows, _ = xp.shape
-    k1, k2, k3 = ks
-    r1, r2 = k1 // 2, k2 // 2
-    s3 = rows * LANES // c
-    bs = _block_size(s1, s2)
-    taps = math.prod(ks)
+    from .partitioning import multi_device
 
-    xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
-    in_spec, g_spec = _specs(B, s1, s2, rows, r1, r2, bs)
-    out_spec = pl.BlockSpec(
-        (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    dw = pl.pallas_call(
-        functools.partial(_dw_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
-        out_shape=jax.ShapeDtypeStruct((B, taps, LANES), jnp.float32),
-        grid=(B, s1 // bs, s2 // bs),
-        in_specs=[in_spec, g_spec],
-        out_specs=out_spec,
-        interpret=not _on_tpu(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 2**20),
-        cost_estimate=pl.CostEstimate(
-            flops=3 * taps * xp.size,
-            bytes_accessed=2 * xp.dtype.itemsize * xp.size,
-            transcendentals=0,
-        ),
-    )(xpp, gp)
+    dw = _dw_fn(tuple(ks), c, multi_device())(xp, gp)
+    # fold the packed copies: lane l carries channel l % C
+    B, taps = dw.shape[:2]
     return jnp.sum(dw.reshape(B, taps, LANES // c, c), axis=2)
+
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

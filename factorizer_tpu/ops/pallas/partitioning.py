@@ -49,6 +49,7 @@ def make_batched_partitioned(
     n_operands: int,
     operand_ranks: Sequence[int],
     n_batched_operands: int = 1,
+    result_rank: int | None = None,
 ) -> Callable:
     """Wrap ``fn(x, [g,] *consts) -> y`` so GSPMD shards along batch dims.
 
@@ -61,6 +62,8 @@ def make_batched_partitioned(
         n_operands: total operand count.
         operand_ranks: rank of each operand (used to build the einsum-like
             Shardy rule).
+        result_rank: rank of the result when it differs from the first
+            operand's (e.g. a per-batch reduction output).
 
     Returns:
         The partitioned callable with the same signature as ``fn``.
@@ -83,7 +86,8 @@ def make_batched_partitioned(
         need_replication += solve
     # The result shares only the batch factors (its non-batch dims may have
     # different sizes than the input's, e.g. lane-packed kernel outputs).
-    out_solve = fresh_factors(operand_ranks[0] - n_batch_dims)
+    out_rank = operand_ranks[0] if result_rank is None else result_rank
+    out_solve = fresh_factors(out_rank - n_batch_dims)
     need_replication += out_solve
     out_map = " ".join(batch_factors + out_solve)
     rule = ", ".join(maps) + " -> " + out_map

@@ -242,3 +242,40 @@ class TestSpatialShardedWindowed:
         with mesh:
             y = jax.jit(blk_sp.apply)(variables, xs)
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_depthwise_packed_kernel_data_parallel(monkeypatch):
+    """The lane-packed depthwise kernel (Deconver's update_s chain) carries a
+    GSPMD batch-sharding rule: sharded forward == single-device (the kernel
+    runs locally per shard instead of forcing replication)."""
+    from factorizer_tpu.factorization import deconv as dc
+    from factorizer_tpu.ops.pallas import depthwise_packed as dpk
+
+    d = ftx.Deconv(channels=16, kernel_size=(3, 3, 3), groups=-1, ratio=1, num_iters=1)
+    x = jax.random.uniform(jax.random.key(0), (4, 8, 8, 8, 16), jnp.float32) + 0.1
+    v = d.init(jax.random.key(1), x)
+
+    monkeypatch.setattr(
+        dc.Deconv, "_packed_chain_eligible",
+        lambda self, x, s, h: dpk.supports_packed(x.shape, self.kernel_size_),
+    )
+    y_single = d.apply(v, x)
+
+    mesh = make_mesh({"data": 4})
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with mesh:
+        y = jax.jit(d.apply)(v, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_single), atol=1e-5)
+
+    # gradient path (dw kernel) under the mesh too
+    def loss(v, x):
+        return jnp.sum(d.apply(v, x) ** 2)
+
+    g_single = jax.grad(loss)(v, x)
+    with mesh:
+        g = jax.jit(jax.grad(loss))(v, xs)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_single)):
+        b = np.asarray(b)
+        # f32 summation-order noise scales with the gradient magnitude
+        tol = 1e-5 * max(float(np.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), b, atol=tol, rtol=1e-3)
