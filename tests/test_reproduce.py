@@ -77,3 +77,57 @@ def test_reproduce_harness_synthetic(brats_tree, tmp_path):
     assert len(datalist["training"]) == 10
     metrics = json.loads((bundle / "runs" / "fold0" / "case_metrics.json").read_text())
     assert "mean_dice" in metrics and metrics["cases"]
+
+
+def test_reproduce_import_torch_checkpoint(brats_tree, tmp_path):
+    """--import_ckpt: a reference torch checkpoint converts into the bundle's
+    models/fold0 and evaluation runs from the imported weights — the exact
+    route for reproducing the reference's published Dice without retraining."""
+    torch = pytest.importorskip("torch")
+    import sys as _sys
+
+    if "/root/reference" not in _sys.path:
+        _sys.path.insert(0, "/root/reference")
+    ft_ref = pytest.importorskip("factorizer")
+
+    ref = ft_ref.Factorizer(
+        in_channels=4, out_channels=3, spatial_size=(16, 16, 16),
+        encoder_depth=(1, 1), encoder_width=(8, 16), strides=(1, 2),
+        decoder_depth=(1,), norm=ft_ref.LayerNorm,
+        reshape=(ft_ref.SWMatricize, {"head_dim": 4, "patch_size": 4}),
+        factorize=ft_ref.NMF, rank=1, num_iters=2, init="uniform",
+        solver="hals", mlp_ratio=2,
+    )
+    ckpt = tmp_path / "model.pt"
+    torch.save({"state_dict": ref.state_dict()}, ckpt)
+
+    bundle = tmp_path / "factorizer_brats23"
+    shutil.copytree(REPO / "zoo" / "factorizer_brats23", bundle)
+
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "tools" / "reproduce.py"),
+            "--bundle", str(bundle),
+            "--data_dir", str(brats_tree),
+            "--import_ckpt", str(ckpt),
+            "--fold", "0",
+            "--tolerance", "1.0",
+            "--remake_datalist",
+            "roi_size=[16,16,16]",
+            "num_workers=0",
+            "network_def#encoder_depth=[1,1]",
+            "network_def#encoder_width=[8,16]",
+            "network_def#strides=[1,2]",
+            "network_def#decoder_depth=[1]",
+            "network_def#num_iters=2",
+            "network_def#mlp_ratio=2",
+            "network_def#reshape=[$ftx.SWMatricize, {head_dim: 4, patch_size: 4, shifts: [null, 2]}]",
+            "trainer#compute_hd95=False",
+        ],
+        capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "PARITY: PASS" in proc.stdout
+    assert (bundle / "models" / "fold0").exists()
+    metrics = json.loads((bundle / "runs" / "fold0" / "case_metrics.json").read_text())
+    assert "mean_dice" in metrics

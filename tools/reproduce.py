@@ -30,6 +30,7 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def sh(cmd: list[str], cwd: Path) -> None:
@@ -55,15 +56,12 @@ def ensure_datalist(bundle: Path, data_dir: str, force: bool) -> None:
     )
 
 
-def import_torch(bundle: Path, ckpt: str, fold: int, train_yaml: Path) -> Path:
+def import_torch(bundle: Path, ckpt: str, fold: int) -> Path:
     """Convert a reference torch checkpoint into the bundle's models/fold{N}."""
-    import numpy as np  # noqa: F401  (torch_import returns numpy trees)
+    import torch
 
-    from factorizer_tpu.config.parser import ConfigParser
     from factorizer_tpu.train.checkpoint import save_checkpoint
     from factorizer_tpu.utils.torch_import import import_torch_checkpoint
-
-    import torch
 
     state = torch.load(ckpt, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model", "network"):
@@ -71,7 +69,8 @@ def import_torch(bundle: Path, ckpt: str, fold: int, train_yaml: Path) -> Path:
             state = state[key]
     variables = import_torch_checkpoint(state)
     out = bundle / "models" / f"fold{fold}"
-    save_checkpoint(out, {"params": variables["params"]})
+    # keep every collection (params + buffers: e.g. RandomInit's u0/v0 tables)
+    save_checkpoint(out, dict(variables))
     print(f"imported {ckpt} -> {out}")
     return out
 
@@ -115,8 +114,7 @@ def main() -> int:
 
     ckpt: Path | None = None
     if args.import_ckpt:
-        train_yaml = bundle / "configs" / "train.yaml"
-        ckpt = import_torch(bundle, args.import_ckpt, args.fold, train_yaml)
+        ckpt = import_torch(bundle, args.import_ckpt, args.fold)
     elif args.train:
         cmd = [
             sys.executable, "-m", "factorizer_tpu.bundle", "run",
