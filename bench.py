@@ -71,7 +71,7 @@ def _make_step(model, variables):
         y = model.apply(variables, x)
         return jnp.mean(y.astype(jnp.float32))
 
-    return lambda x: step(variables, x)
+    return (lambda x: step(variables, x)), step
 
 
 def _chained(step, x, k: int) -> float:
@@ -91,11 +91,12 @@ def _time(step, x, k: int, reps: int = 3) -> float:
     return best
 
 
-def _forward_bytes(model, variables, x) -> float:
-    """XLA cost-analysis bytes accessed for the compiled forward (or nan)."""
+def _forward_bytes(step_jit, variables, x) -> float:
+    """XLA cost-analysis bytes for the SAME compiled step used for timing
+    (the scalar mean adds negligible bytes; reusing it avoids a second
+    flagship compile)."""
     try:
-        f = jax.jit(lambda v, x: model.apply(v, x))
-        cost = f.lower(variables, x).compile().cost_analysis()
+        cost = step_jit.lower(variables, x).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("bytes accessed", float("nan")))
@@ -164,6 +165,7 @@ def _train_step_time(dtype) -> float:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     from __graft_entry__ import _flagship
 
     # bf16 activations are the TPU-native serving configuration (solver math
@@ -176,7 +178,7 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0), x)
 
     k_lo, k_hi = 2, 10
-    step = _make_step(model, variables)
+    step, step_jit = _make_step(model, variables)
     _chained(step, x, 2)  # compile
 
     t_lo = _time(step, x, k_lo)
@@ -187,12 +189,18 @@ def main() -> None:
     baseline_vol_per_s = 1.0 / REFERENCE_CPU_LATENCY_S
 
     bw = CHIP_HBM_BYTES_PER_S.get(THIS_CHIP, CHIP_HBM_BYTES_PER_S["v5e"])
-    fwd_bytes = _forward_bytes(model, variables, x)
+    fwd_bytes = _forward_bytes(step_jit, variables, x)
     roofline_s = fwd_bytes / bw if fwd_bytes == fwd_bytes else float("nan")
     roofline_frac = roofline_s / per_iter if roofline_s == roofline_s else float("nan")
 
+    # The train-step measurement needs its own (cached) compile; skip it when
+    # the forward phase already ran long (cold cache / contended host) so the
+    # primary metric always lands within the driver's budget.
     train_s = float("nan")
-    if os.environ.get("FTX_BENCH_TRAIN", "1") != "0":
+    if (
+        os.environ.get("FTX_BENCH_TRAIN", "1") != "0"
+        and time.perf_counter() - t_start < float(os.environ.get("FTX_BENCH_TRAIN_DEADLINE_S", 420))
+    ):
         try:
             train_s = _train_step_time(dtype)
         except Exception:

@@ -68,7 +68,7 @@ def test_reproduce_harness_synthetic(brats_tree, tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=2400,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "PARITY: PASS" in proc.stdout
@@ -124,7 +124,7 @@ def test_reproduce_import_torch_checkpoint(brats_tree, tmp_path):
             "network_def#reshape=[$ftx.SWMatricize, {head_dim: 4, patch_size: 4, shifts: [null, 2]}]",
             "trainer#compute_hd95=False",
         ],
-        capture_output=True, text=True, timeout=1500,
+        capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "PARITY: PASS" in proc.stdout

@@ -37,6 +37,10 @@ def sh(cmd: list[str], cwd: Path) -> None:
     print(f"+ {' '.join(str(c) for c in cmd)}", flush=True)
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    # persistent XLA compile cache: repeated stage invocations (train,
+    # evaluate) and repeated harness runs skip recompilation
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".cache" / "jax"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     subprocess.run([str(c) for c in cmd], cwd=cwd, check=True, env=env)
 
 
