@@ -44,7 +44,7 @@ def measure() -> dict:
     x = jax.random.uniform(jax.random.key(1), (1, 2, 128, 128, 128), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x)
 
-    step = bench._make_step(model, variables)
+    step, _ = bench._make_step(model, variables)
     first = bench._chained(step, x, 2)
     if first != first:  # NaN
         raise SystemExit("GATE FAIL: flagship forward produced NaN")
