@@ -14,6 +14,7 @@ kernels, fan-in uniform for biases) so training dynamics track the reference.
 from __future__ import annotations
 
 import itertools
+import logging
 import math
 import os
 from typing import Any, Optional, Sequence
@@ -31,6 +32,7 @@ __all__ = [
     "Linear",
     "LayerNorm",
     "MLP",
+    "maybe_fused_prenorm_mlp",
     "Conv",
     "ConvTranspose",
     "Dropout",
@@ -177,6 +179,77 @@ class MLP(nn.Module):
         x = Linear(hidden, out_ch, bias=self.bias, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(rate=d2, deterministic=deterministic)(x)
         return x
+
+
+# Fused pre-norm MLP residual path ------------------------------------------
+#
+# Both flagship block families end with ``x + mlp(norm2(x))`` (reference:
+# factorizer.py:60-77, deconver.py:49-65).  Where eligible this runs as one
+# Pallas pass (ops/pallas/mlp_block.py) instead of the 5-op XLA chain that
+# round-trips the 4x hidden activations through HBM.  Opt out with
+# ``FTX_FUSED_MLP=0``; force on non-TPU backends (interpret mode, tests)
+# with ``FTX_FUSED_MLP=force``.
+
+_FUSED_MLP_LOGGED: set[str] = set()
+
+
+def _fused_prenorm_mlp_reason(norm2, mlp, x: Array, deterministic: bool):
+    """Why this norm+MLP pair can NOT take the fused kernel (None = it can)."""
+    mode = os.environ.get("FTX_FUSED_MLP", "1")
+    if mode == "0":
+        return "FTX_FUSED_MLP=0 (explicit opt-out)"
+    if not isinstance(norm2, LayerNorm):
+        return f"norm is {type(norm2).__name__}, kernel covers LayerNorm only"
+    if not isinstance(mlp, MLP):
+        return f"mlp is {type(mlp).__name__}"
+    if mlp.out_channels not in (None, mlp.in_channels):
+        return "MLP is not shape-preserving (no residual form)"
+    d1, d2 = to_ntuple(mlp.dropout, 2)
+    if not deterministic and (d1 or d2):
+        return "active dropout (training with dropout > 0)"
+    hidden = mlp.hidden_channels or int(mlp.ratio * mlp.in_channels)
+    from ..ops.pallas.mlp_block import supports_fused_mlp
+
+    if not supports_fused_mlp(x.shape, hidden, x.dtype):
+        return (
+            f"shape/dtype outside kernel coverage (C={x.shape[-1]}, "
+            f"hidden={hidden}, dtype={x.dtype})"
+        )
+    if mode != "force" and not any(d.platform == "tpu" for d in jax.devices()):
+        return "not on TPU (set FTX_FUSED_MLP=force to run in interpret mode)"
+    return None
+
+
+def maybe_fused_prenorm_mlp(
+    norm2, mlp, x: Array, deterministic: bool = True
+) -> Optional[Array]:
+    """``x + mlp(norm2(x))`` through the fused Pallas kernel, or None.
+
+    Reads the bound submodules' existing parameter leaves, so checkpoints
+    and init are identical to the unfused path; callers fall back to the
+    module calls when this returns None (ineligible config or non-TPU).
+    """
+    reason = _fused_prenorm_mlp_reason(norm2, mlp, x, deterministic)
+    if reason is not None:
+        key = reason.split("(")[0]
+        if x.dtype == jnp.bfloat16 and key not in _FUSED_MLP_LOGGED:
+            _FUSED_MLP_LOGGED.add(key)
+            logging.getLogger(__name__).info(
+                "pre-norm MLP falls back to the unfused XLA chain: %s", reason
+            )
+        return None
+    from ..ops.pallas.mlp_block import fused_prenorm_mlp
+
+    hidden = mlp.hidden_channels or int(mlp.ratio * mlp.in_channels)
+    n = norm2.variables["params"]["norm"]
+    p1 = mlp.variables["params"]["fc1"]["linear"]
+    p2 = mlp.variables["params"]["fc2"]["linear"]
+    b1 = p1.get("bias", jnp.zeros((hidden,), jnp.float32))
+    b2 = p2.get("bias", jnp.zeros((mlp.in_channels,), jnp.float32))
+    return fused_prenorm_mlp(
+        x, n["scale"], n["bias"], p1["kernel"], b1, p2["kernel"], b2,
+        eps=norm2.eps,
+    )
 
 
 # Upper bound on the im2col column-tensor size (bytes).  The flagship stem at

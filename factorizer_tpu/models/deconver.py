@@ -13,7 +13,14 @@ import flax.linen as nn
 from jax import Array
 
 from ..factorization.deconv import Deconv
-from ..layers.basic import Conv, LayerNorm, Linear, MLP, resolve_activation
+from ..layers.basic import (
+    Conv,
+    LayerNorm,
+    Linear,
+    MLP,
+    maybe_fused_prenorm_mlp,
+    resolve_activation,
+)
 from ..utils.helpers import partialize
 from .unet import UNet, dtype_kwargs
 
@@ -117,8 +124,12 @@ class DeconverBlock(nn.Module):
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = x + self.dcm(self.norm1(x), deterministic=deterministic)
-        x = x + self.mlp(self.norm2(x), deterministic=deterministic)
-        return x
+        y = None
+        if not self.is_initializing():
+            y = maybe_fused_prenorm_mlp(self.norm2, self.mlp, x, deterministic)
+        if y is None:
+            y = x + self.mlp(self.norm2(x), deterministic=deterministic)
+        return y
 
 
 class DeconverStage(nn.Module):

@@ -22,7 +22,13 @@ import flax.linen as nn
 from jax import Array
 
 from ..factorization.nmf import NMF, translate_mf_kwargs
-from ..layers.basic import LayerNorm, Linear, MLP, resolve_activation
+from ..layers.basic import (
+    LayerNorm,
+    Linear,
+    MLP,
+    maybe_fused_prenorm_mlp,
+    resolve_activation,
+)
 from ..layers.pos_embed import PositionalEmbedding
 from ..ops.reshape import Matricize
 from ..utils.helpers import has_args, partialize
@@ -324,8 +330,12 @@ class FactorizerBlock(nn.Module):
 
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = x + self.fact(self.norm1(x), deterministic=deterministic)
-        x = x + self.mlp(self.norm2(x), deterministic=deterministic)
-        return x
+        y = None
+        if not self.is_initializing():
+            y = maybe_fused_prenorm_mlp(self.norm2, self.mlp, x, deterministic)
+        if y is None:
+            y = x + self.mlp(self.norm2(x), deterministic=deterministic)
+        return y
 
 
 class FactorizerStage(nn.Module):

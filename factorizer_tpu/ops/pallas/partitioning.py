@@ -27,7 +27,7 @@ import jax
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["make_batched_partitioned", "multi_device"]
+__all__ = ["make_batched_partitioned", "make_mlp_bwd_partitioned", "multi_device"]
 
 
 def multi_device() -> bool:
@@ -119,5 +119,60 @@ def make_batched_partitioned(
         infer_sharding_from_operands=infer,
         sharding_rule=rule,
         need_replication_factors=tuple(need_replication),
+    )
+    return wrapped
+
+
+def make_mlp_bwd_partitioned(fn: Callable, rule: str, n_args: int = 11) -> Callable:
+    """Partition a fused-MLP backward pass for row-sharded activations.
+
+    ``fn(xp, gp, *consts) -> (dxp, *param_cotangents)``: the first two
+    operands and the first result share a shardable leading rows dim; every
+    other operand is a replicated constant.  The six parameter cotangents
+    are reductions over rows, so each shard computes a partial sum and the
+    partition body ``psum``s them over the axes sharding the rows dim (the
+    TPU-native analogue of DDP's gradient all-reduce).  A Shardy reduction
+    factor cannot also appear in a result mapping (dxp carries the rows
+    factor), so the ``rule`` marks every non-rows factor need-replication
+    and the psum lives in the partition body.  ``rule`` must use factor
+    ``r`` for rows and only ``l``/``l2``/``o``/``p`` elsewhere (both kernel
+    layouts share that factor vocabulary).
+    """
+    wrapped = custom_partitioning(fn)
+
+    def _row(mesh, arg_shapes):
+        return _batch_only_spec(mesh, arg_shapes[0].sharding, 2, 1)
+
+    def infer(mesh, arg_shapes, result_shape):
+        row = _row(mesh, arg_shapes)
+        rep = NamedSharding(mesh, P())
+        return (row,) + (rep,) * 6
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row(mesh, arg_shapes)
+        rep = NamedSharding(mesh, P())
+        arg_shardings = (row, row) + (rep,) * (n_args - 2)
+        out_shardings = (row,) + (rep,) * 6
+        axes = row.spec[0] if row.spec else None
+
+        def lower_fn(*args):
+            outs = fn(*args)
+            if axes:
+                return (outs[0],) + tuple(jax.lax.psum(o, axes) for o in outs[1:])
+            return outs
+
+        return mesh, lower_fn, out_shardings, arg_shardings
+
+    # Every non-rows factor is need-replication; Shardy wants them ordered
+    # by first appearance in the rule.
+    seen: list[str] = []
+    for tok in rule.replace(",", " ").replace("->", " ").split():
+        if tok != "r" and tok not in seen:
+            seen.append(tok)
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(seen),
     )
     return wrapped
