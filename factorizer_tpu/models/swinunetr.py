@@ -234,6 +234,7 @@ class SwinUNETR(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     mlp_ratio: float = 4.0
+    use_v2: bool = False
     data_format: str = "channels_first"
     dtype: Any = None
 
@@ -256,6 +257,11 @@ class SwinUNETR(nn.Module):
         skips = [h]
         dim = fs
         for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            if self.use_v2:
+                # SwinUNETR V2: a residual conv block enters each Swin stage
+                # (reference: tests/profiler.py:142-153 `use_v2=True`; MONAI
+                # SwinTransformer layers1c..layers4c at dims fs*2^s).
+                h = _ConvBlock(dim, dim, dtype=self.dtype, name=f"stage{s}_conv")(h)
             for b in range(depth):
                 blk_shift = (0, 0, 0) if b % 2 == 0 else shift
                 h = SwinBlock(

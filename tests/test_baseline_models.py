@@ -133,6 +133,16 @@ class TestReferenceParamParity:
         n = self._count(m, (1, 2, 64, 64, 64))
         assert abs(n - 15_700_000) / 15_700_000 < 0.01, n
 
+    def test_swinunetr_v2_matches_reference(self):
+        # use_v2 adds a residual conv block entering each Swin stage
+        # (reference: tests/profiler.py:142-153, profiler.json 18.35M).
+        m = ftx.SwinUNETR(
+            in_channels=2, out_channels=1, img_size=(64, 64, 64),
+            feature_size=24, window_size=7, use_v2=True,
+        )
+        n = self._count(m, (1, 2, 64, 64, 64))
+        assert abs(n - 18_350_000) / 18_350_000 < 0.01, n
+
     def test_factorizer_matches_reference(self):
         # The flagship profiler config (the bottleneck pos-embed makes the
         # count spatial-size dependent); eval_shape only, nothing computes.
@@ -234,6 +244,13 @@ class TestTrainStepSmoke:
     def test_swinunetr(self):
         m = ftx.SwinUNETR(in_channels=2, out_channels=1, img_size=(32, 32, 32),
                           feature_size=6, window_size=4)
+        x = jax.random.uniform(jax.random.key(2), (1, 2, 32, 32, 32))
+        y = (jax.random.uniform(jax.random.key(3), (1, 1, 32, 32, 32)) > 0.5).astype(jnp.float32)
+        self._one_step(m, x, y)
+
+    def test_swinunetr_v2(self):
+        m = ftx.SwinUNETR(in_channels=2, out_channels=1, img_size=(32, 32, 32),
+                          feature_size=6, window_size=4, use_v2=True)
         x = jax.random.uniform(jax.random.key(2), (1, 2, 32, 32, 32))
         y = (jax.random.uniform(jax.random.key(3), (1, 1, 32, 32, 32)) > 0.5).astype(jnp.float32)
         self._one_step(m, x, y)

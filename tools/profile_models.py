@@ -62,6 +62,11 @@ def build_models(spatial: int, dtype):
         "swinunetr": ftx.SwinUNETR(
             in_channels=2, out_channels=1, img_size=sp3, feature_size=24, window_size=7
         ),
+        # reference tests/profiler.py:142-153 profiles both V1 and V2
+        "swinunetr_v2": ftx.SwinUNETR(
+            in_channels=2, out_channels=1, img_size=sp3, feature_size=24,
+            window_size=7, use_v2=True,
+        ),
         "unetr": ftx.UNETR(in_channels=2, out_channels=1, img_size=sp3, feature_size=16),
     }
     return models
@@ -115,7 +120,10 @@ def _t(f, *args) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--spatial", type=int, default=128)
-    ap.add_argument("--models", default="factorizer,deconver,segresnet,dynunet,swinunetr,unetr")
+    ap.add_argument(
+        "--models",
+        default="factorizer,deconver,segresnet,dynunet,swinunetr,swinunetr_v2,unetr",
+    )
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--output", default="profiler.json")
