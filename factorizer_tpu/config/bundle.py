@@ -63,6 +63,24 @@ def _normalize_cli_overrides(tokens: list[str]) -> list[str]:
     return out
 
 
+def force_platform() -> None:
+    """Honor ``FTX_PLATFORM`` before any JAX backend initializes.
+
+    In some environments the TPU plugin ignores the ``JAX_PLATFORMS`` env
+    var, so CI / subprocess flows that must run on CPU (e.g. the reproduce
+    harness and its bundle invocations) set ``FTX_PLATFORM=cpu`` and we
+    apply it via ``jax.config``, which the plugin does respect.  Must run
+    before the first backend-touching JAX call in the process.
+    """
+    import os
+
+    plat = os.environ.get("FTX_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     """CLI: ``python -m factorizer_tpu.bundle run --config_file F [overrides]``.
 
@@ -71,6 +89,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     argparse's positional/optional intermixing separates ``--key`` flags
     from their values, mispairing the overrides.
     """
+    force_platform()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] != "run":
         raise SystemExit(

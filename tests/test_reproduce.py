@@ -9,6 +9,7 @@ entry points are exercised.
 
 import json
 import shutil
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -69,6 +70,9 @@ def test_reproduce_harness_synthetic(brats_tree, tmp_path):
         capture_output=True,
         text=True,
         timeout=2400,
+        # the bundle CLI honors FTX_PLATFORM (the axon TPU plugin ignores
+        # JAX_PLATFORMS): this CI flow must run on CPU even with a TPU around
+        env={**os.environ, "FTX_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "PARITY: PASS" in proc.stdout
@@ -125,6 +129,7 @@ def test_reproduce_import_torch_checkpoint(brats_tree, tmp_path):
             "trainer#compute_hd95=False",
         ],
         capture_output=True, text=True, timeout=2400,
+        env={**os.environ, "FTX_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "PARITY: PASS" in proc.stdout

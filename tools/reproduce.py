@@ -96,6 +96,11 @@ def evaluate(bundle: Path, fold: int, ckpt: Path | None, data_dir: str,
 
 
 def main() -> int:
+    # --import_ckpt initializes JAX in-process (orbax checkpoint write);
+    # honor FTX_PLATFORM here too so CI runs don't touch the TPU plugin.
+    from factorizer_tpu.config.bundle import force_platform
+
+    force_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--bundle", required=True, help="zoo bundle name, e.g. factorizer_brats23")
     ap.add_argument("--data_dir", required=True)
