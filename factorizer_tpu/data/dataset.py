@@ -10,6 +10,7 @@ for multi-host TPU training.
 
 from __future__ import annotations
 
+import itertools
 import json
 import queue
 import threading
@@ -177,9 +178,15 @@ def _default_collate(items: list[dict]) -> dict:
 # ---- process-pool worker plumbing ------------------------------------------
 # Forked workers inherit the dataset via this module global (set just before
 # the fork), so neither the dataset nor its transform chain is ever pickled;
-# only indices go in and transformed arrays come back.
-_shared_dataset: Optional["Dataset"] = None
+# only indices go in and transformed arrays come back.  A registry keyed by
+# a per-pool token (rather than one module global) lets several loaders run
+# concurrently: each pool's workers resolve their own dataset from the copy
+# of the registry they inherited at fork time.
+_shared_datasets: dict[int, "Dataset"] = {}
+_pool_tokens = itertools.count()
+_worker_dataset: Optional["Dataset"] = None
 _worker_id: Optional[int] = None
+_worker_epoch: int = 0
 
 
 def get_worker_id() -> Optional[int]:
@@ -192,15 +199,27 @@ def get_worker_id() -> Optional[int]:
     return _worker_id
 
 
-def _pool_initializer(counter) -> None:
-    global _worker_id
+def get_worker_epoch() -> int:
+    """The loader epoch the current worker pool was forked for.
+
+    Folded into the per-worker RNG spawn key: each epoch forks a fresh pool
+    whose workers get the same ids, so without the epoch every epoch would
+    replay epoch 1's augmentation stream exactly.
+    """
+    return _worker_epoch
+
+
+def _pool_initializer(counter, token: int, epoch: int) -> None:
+    global _worker_id, _worker_dataset, _worker_epoch
     with counter.get_lock():
         _worker_id = int(counter.value)
         counter.value += 1
+    _worker_dataset = _shared_datasets[token]
+    _worker_epoch = epoch
 
 
 def _getitem_shared(idx: int):
-    return _shared_dataset[idx]
+    return _worker_dataset[idx]
 
 
 class DataLoader:
@@ -273,58 +292,78 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        token = next(_pool_tokens)
 
         def make_pool():
             if self.use_processes:
                 import multiprocessing as mp
                 from concurrent.futures import ProcessPoolExecutor
 
-                global _shared_dataset
-                _shared_dataset = self.dataset  # inherited by the fork below
+                # registry entry must exist before the (lazy) fork; each
+                # pool resolves its own entry, so concurrent loaders can't
+                # hand each other's dataset to their workers
+                _shared_datasets[token] = self.dataset
                 ctx = mp.get_context("fork")
                 counter = ctx.Value("i", 0)
                 return ProcessPoolExecutor(
                     self.num_workers,
                     mp_context=ctx,
                     initializer=_pool_initializer,
-                    initargs=(counter,),
+                    initargs=(counter, token, self.epoch),
                 )
             from concurrent.futures import ThreadPoolExecutor
 
             return ThreadPoolExecutor(self.num_workers)
 
+        def put(item) -> bool:
+            """stop-aware q.put: an abandoned consumer (early break) sets
+            ``stop`` but never drains the queue; a plain blocking put would
+            wedge the producer here forever, leaking the worker pool."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with make_pool() as pool:
-                if self.use_processes:
-                    # keep a bounded window of in-flight items so parallelism
-                    # spans batch boundaries without unbounded memory
-                    window = self.num_workers + self.batch_size
-                    flat = [i for b in batches for i in b]
-                    futs: dict[int, Any] = {}
-                    submitted = taken = 0
-                    for b in batches:
-                        if stop.is_set():
-                            return
-                        while submitted < len(flat) and submitted - taken < window:
-                            futs[submitted] = pool.submit(_getitem_shared, flat[submitted])
-                            submitted += 1
-                        items = []
-                        for _ in b:
-                            items.append(futs.pop(taken).result())
-                            taken += 1
-                            if submitted < len(flat):
-                                futs[submitted] = pool.submit(
-                                    _getitem_shared, flat[submitted]
-                                )
+            try:
+                with make_pool() as pool:
+                    if self.use_processes:
+                        # keep a bounded window of in-flight items so parallelism
+                        # spans batch boundaries without unbounded memory
+                        window = self.num_workers + self.batch_size
+                        flat = [i for b in batches for i in b]
+                        futs: dict[int, Any] = {}
+                        submitted = taken = 0
+                        for b in batches:
+                            if stop.is_set():
+                                return
+                            while submitted < len(flat) and submitted - taken < window:
+                                futs[submitted] = pool.submit(_getitem_shared, flat[submitted])
                                 submitted += 1
-                        q.put(self.collate_fn(items))
-                else:
-                    for b in batches:
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(self.collate_fn(items))
-            q.put(None)
+                            items = []
+                            for _ in b:
+                                items.append(futs.pop(taken).result())
+                                taken += 1
+                                if submitted < len(flat):
+                                    futs[submitted] = pool.submit(
+                                        _getitem_shared, flat[submitted]
+                                    )
+                                    submitted += 1
+                            if not put(self.collate_fn(items)):
+                                return
+                    else:
+                        for b in batches:
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self.dataset.__getitem__, b))
+                            if not put(self.collate_fn(items)):
+                                return
+                put(None)
+            finally:
+                _shared_datasets.pop(token, None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

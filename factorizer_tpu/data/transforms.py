@@ -133,7 +133,7 @@ class RandomizableTransform(MapTransform):
     @property
     def rng(self) -> np.random.Generator:
         local = self._local
-        from .dataset import get_worker_id
+        from .dataset import get_worker_epoch, get_worker_id
 
         wid = get_worker_id()
         if (
@@ -147,10 +147,12 @@ class RandomizableTransform(MapTransform):
                     # forked pool worker: fork copied the parent's spawn
                     # counter into every worker, so spawn() would hand all
                     # workers the SAME stream; derive a distinct
-                    # deterministic one from the worker id instead
+                    # deterministic one from (worker id, loader epoch)
+                    # instead — without the epoch, each epoch's freshly
+                    # forked pool would replay epoch 1's stream exactly
                     child = np.random.SeedSequence(
                         entropy=self._seed_seq.entropy,
-                        spawn_key=(0x57AB, wid),
+                        spawn_key=(0x57AB, wid, get_worker_epoch()),
                     )
                 local.epoch = self._rng_epoch
             local.wid = wid

@@ -243,3 +243,58 @@ class TestProcessLoader:
         # all items augmented, and not all identical (distinct worker streams)
         assert (xs != 0).all()
         assert len(np.unique(np.round(xs, 6))) > 1
+
+    def test_process_workers_fresh_stream_per_epoch(self):
+        """Each epoch forks a fresh pool with the same worker ids; the RNG
+        spawn key must include the epoch or every epoch replays epoch 1's
+        augmentation stream exactly."""
+        t = T.RandShiftIntensityd(["x"], prob=1.0, offsets=(0.0, 100.0))
+        t.set_random_state(7)
+        data = [{"x": np.zeros((4,), np.float32), "id": f"c{i}"} for i in range(4)]
+        ds = Dataset(data, transform=t)
+        dl = DataLoader(ds, batch_size=2, num_workers=2, use_processes=True)
+
+        def epoch_values(epoch):
+            dl.set_epoch(epoch)
+            out = {}
+            for b in list(dl):
+                for cid, v in zip(b["id"], np.asarray(b["x"])[:, 0]):
+                    out[cid] = float(v)
+            return out
+
+        e0, e1 = epoch_values(0), epoch_values(1)
+        # same cases, but at least one augmentation must differ across epochs
+        assert set(e0) == set(e1)
+        assert any(abs(e0[k] - e1[k]) > 1e-9 for k in e0)
+
+    def test_concurrent_process_loaders_keep_their_datasets(self):
+        """Two process-mode loaders iterated in lockstep must each serve
+        their OWN dataset (the shared-registry fork handoff is per-pool,
+        not a single module global)."""
+        a = Dataset([{ "x": np.full((2,), 10.0 + i), "id": f"a{i}"} for i in range(4)])
+        b = Dataset([{ "x": np.full((2,), 20.0 + i), "id": f"b{i}"} for i in range(4)])
+        dla = DataLoader(a, batch_size=2, num_workers=1, use_processes=True)
+        dlb = DataLoader(b, batch_size=2, num_workers=1, use_processes=True)
+        for ba, bb in zip(dla, dlb):  # interleaved consumption
+            assert all(cid.startswith("a") for cid in ba["id"])
+            assert all(cid.startswith("b") for cid in bb["id"])
+            assert np.asarray(ba["x"]).min() >= 10 and np.asarray(ba["x"]).max() < 20
+            assert np.asarray(bb["x"]).min() >= 20
+
+    def test_abandoned_iteration_releases_pool(self):
+        """Breaking out of iteration early must not wedge the producer on a
+        full queue (it would leak the forked worker pool)."""
+        import time
+
+        from factorizer_tpu.data import dataset as ds_mod
+
+        data = [{"x": np.zeros((2,), np.float32), "id": f"c{i}"} for i in range(12)]
+        dl = DataLoader(Dataset(data), batch_size=2, num_workers=1,
+                        use_processes=True, prefetch=1)
+        it = iter(dl)
+        next(it)
+        it.close()  # consumer abandons; GeneratorExit runs the finally
+        deadline = time.time() + 10
+        while ds_mod._shared_datasets and time.time() < deadline:
+            time.sleep(0.05)
+        assert not ds_mod._shared_datasets, "producer leaked its pool/registry entry"

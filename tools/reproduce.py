@@ -151,12 +151,13 @@ def main() -> int:
     meta = json.loads((bundle / "configs" / "metadata.json").read_text())
     target = (meta.get("eval_metrics") or {}).get("mean_dice")
     got = metrics.get("mean_dice")
-    print(f"\nmeasured mean Dice: {got:.4f}" if got == got else "\nmeasured mean Dice: nan")
+    valid = isinstance(got, (int, float)) and got == got  # present and not NaN
+    print(f"\nmeasured mean Dice: {got:.4f}" if valid else f"\nmeasured mean Dice: {got}")
     if target is None:
         print("metadata has no eval_metrics.mean_dice target; nothing to compare")
         return 0
     print(f"metadata target:    {target:.4f}  (tolerance {args.tolerance})")
-    ok = got == got and got >= target - args.tolerance
+    ok = valid and got >= target - args.tolerance
     print("PARITY: PASS" if ok else "PARITY: FAIL")
     return 0 if ok else 1
 
