@@ -30,12 +30,29 @@ class CheckpointManager:
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
         self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
 
-    def save(self, step: int, state: Any, metrics: Optional[dict] = None) -> None:
+    def save(
+        self, step: int, state: Any, metrics: Optional[dict] = None,
+        block: bool = True,
+    ) -> None:
+        """Save a state pytree at ``step``.
+
+        ``block=False`` returns after the device->host copy and persists in
+        the background (orbax's async path), overlapping the disk write with
+        the next training epoch; call :meth:`wait` (or ``close``) before
+        relying on the file.  Donation-safe: the array contents are already
+        on the host when this returns.
+        """
         tree = _to_savable(state)
         self._mgr.save(step, args=ocp.args.StandardSave(tree), metrics=metrics)
+        if block:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable on disk."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()  # an in-flight save IS the latest
         return self._mgr.latest_step()
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:

@@ -237,12 +237,17 @@ class SegmentationTrainer:
                     self.best_metric = val_metrics["mean_dice"]
 
             if self.ckpt is not None and process_is_primary():
-                self.ckpt.save(epoch + 1, state, metrics=None)
+                # async: the disk write overlaps the next epoch (the arrays
+                # are copied to host before save() returns, so donation of
+                # the state into the next step is safe)
+                self.ckpt.save(epoch + 1, state, metrics=None, block=False)
 
             self.history.append(record)
             if self.log_dir and process_is_primary():
                 (self.log_dir / "history.jsonl").open("a").write(json.dumps(record) + "\n")
 
+        if self.ckpt is not None and process_is_primary():
+            self.ckpt.wait()  # final epoch's save must be durable before return
         return state
 
 

@@ -166,6 +166,20 @@ class TestCheckpoint:
         np.testing.assert_array_equal(restored["params"]["w"], np.arange(6.0).reshape(2, 3))
         assert int(restored["step"]) == 7
 
+    def test_async_save_is_durable_after_wait(self, tmp_path):
+        """block=False overlaps the disk write; wait()/latest_step() must
+        make it durable and visible."""
+        from factorizer_tpu.train.checkpoint import CheckpointManager
+
+        tree = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(3)}
+        mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
+        mgr.save(1, tree, block=False)
+        mgr.save(2, tree, block=False)
+        assert mgr.latest_step() == 2  # waits for in-flight saves
+        restored = mgr.restore(template=tree)
+        np.testing.assert_array_equal(restored["params"]["w"], np.arange(4.0))
+        mgr.close()
+
 
 class TestResume:
     def test_trainer_resumes_from_checkpoint(self, tmp_path):
