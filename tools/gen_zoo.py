@@ -153,6 +153,7 @@ def swinunetr_net(ds: dict) -> dict:
         "out_channels": ds["out_channels"],
         "feature_size": 24,
         "window_size": 7,  # reference SwinUNETR default window
+        "use_v2": False,  # pinned like the reference bundle (train.yaml:46)
     }
 
 
