@@ -22,12 +22,27 @@ __all__ = ["CheckpointManager", "save_checkpoint", "restore_checkpoint", "load_c
 
 
 class CheckpointManager:
-    """Thin orbax CheckpointManager wrapper with n-best retention."""
+    """Thin orbax CheckpointManager wrapper with n-kept retention.
 
-    def __init__(self, directory: str | Path, max_to_keep: int = 1) -> None:
+    ``best_metric_key`` switches retention from keep-latest to
+    keep-best-by-metric (descending): saves must then pass
+    ``metrics={key: value, ...}`` and orbax retains the ``max_to_keep``
+    checkpoints with the highest values — the MONAI
+    ``save_key_metric``-style policy on top of the reference's
+    interval saver (reference: train.yaml:368-374 CheckpointSaver).
+    """
+
+    def __init__(
+        self, directory: str | Path, max_to_keep: int = 1,
+        best_metric_key: Optional[str] = None,
+    ) -> None:
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+        self.best_metric_key = best_metric_key
+        kw = {}
+        if best_metric_key is not None:
+            kw = {"best_fn": lambda m: float(m[best_metric_key]), "best_mode": "max"}
+        options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True, **kw)
         self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
 
     def save(

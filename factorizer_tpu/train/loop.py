@@ -47,6 +47,9 @@ class SegmentationTrainer:
         lr, weight_decay, warmup_epochs: AdamW + warmup-cosine hyperparams.
         roi_size: sliding-window size for validation.
         ckpt_dir: checkpoint directory (resumes from latest if present).
+        ckpt_best: retain the ``max_to_keep`` checkpoints with the highest
+            validation mean Dice instead of the latest (saves happen only on
+            validated epochs); resume then restarts from the best kept step.
         loss_fn: optional override of the DiceCE default.
         mesh: optional device mesh for data-parallel training.
     """
@@ -71,6 +74,7 @@ class SegmentationTrainer:
         seed: int = 123,
         compute_hd95: bool = False,
         max_to_keep: int = 1,
+        ckpt_best: bool = False,
     ) -> None:
         self.model = model
         self.train_loader = train_loader
@@ -102,7 +106,15 @@ class SegmentationTrainer:
         # compiled executable keyed on this callable.
         self._sw_predict = lambda windows, variables: _apply(variables, windows)
 
-        self.ckpt = CheckpointManager(ckpt_dir, max_to_keep=max_to_keep) if ckpt_dir else None
+        self._ckpt_best = bool(ckpt_best and val_loader is not None)
+        self.ckpt = (
+            CheckpointManager(
+                ckpt_dir, max_to_keep=max_to_keep,
+                best_metric_key="mean_dice" if self._ckpt_best else None,
+            )
+            if ckpt_dir
+            else None
+        )
         self.log_dir = Path(log_dir) if log_dir else None
         self._tb = None
         if self.log_dir and process_is_primary():
@@ -222,6 +234,7 @@ class SegmentationTrainer:
 
             record = {"epoch": epoch, "loss": epoch_loss, "time_s": dt}
 
+            val_metrics = None
             if (
                 self.val_loader is not None
                 and self.val_interval
@@ -240,7 +253,17 @@ class SegmentationTrainer:
                 # async: the disk write overlaps the next epoch (the arrays
                 # are copied to host before save() returns, so donation of
                 # the state into the next step is safe)
-                self.ckpt.save(epoch + 1, state, metrics=None, block=False)
+                if self._ckpt_best:
+                    # best-by-metric retention: only validated epochs are
+                    # candidates, and orbax keeps the max_to_keep highest
+                    if val_metrics is not None:
+                        self.ckpt.save(
+                            epoch + 1, state,
+                            metrics={"mean_dice": float(val_metrics["mean_dice"])},
+                            block=False,
+                        )
+                else:
+                    self.ckpt.save(epoch + 1, state, metrics=None, block=False)
 
             self.history.append(record)
             if self.log_dir and process_is_primary():

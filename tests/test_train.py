@@ -180,6 +180,20 @@ class TestCheckpoint:
         np.testing.assert_array_equal(restored["params"]["w"], np.arange(4.0))
         mgr.close()
 
+    def test_best_metric_retention(self, tmp_path):
+        """best_metric_key retains the max_to_keep highest-metric steps."""
+        from factorizer_tpu.train.checkpoint import CheckpointManager
+
+        tree = {"params": {"w": jnp.arange(4.0)}, "step": jnp.asarray(0)}
+        mgr = CheckpointManager(tmp_path / "ck", max_to_keep=1,
+                                best_metric_key="mean_dice")
+        mgr.save(1, tree, metrics={"mean_dice": 0.5})
+        mgr.save(2, tree, metrics={"mean_dice": 0.9})
+        mgr.save(3, tree, metrics={"mean_dice": 0.7})
+        mgr.wait()
+        assert mgr.latest_step() == 2  # the best, not the last
+        mgr.close()
+
 
 class TestResume:
     def test_trainer_resumes_from_checkpoint(self, tmp_path):
