@@ -205,7 +205,11 @@ class SegmentationTrainer:
         if self.state is None:
             self.initialize()
         state = self.state
-        rng = jax.random.key(self.seed + 1)
+        # Folding in the resume step keeps dropout/augmentation streams
+        # moving forward after a checkpoint resume instead of replaying the
+        # run's first epochs (the reference's ignite resume has the same
+        # continue-not-replay behavior since torch RNG isn't checkpointed).
+        rng = jax.random.fold_in(jax.random.key(self.seed + 1), int(self.state.step))
 
         # Resume at the epoch implied by the restored optimizer step.
         steps_per_epoch = max(len(self.train_loader), 1)
