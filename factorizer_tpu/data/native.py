@@ -19,25 +19,33 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_available", "native_load_nifti", "get_library"]
+__all__ = [
+    "native_available",
+    "native_load_nifti",
+    "native_affine_resample",
+    "get_library",
+]
 
-_SRC = Path(__file__).parent / "_native" / "nifti_decode.cpp"
+_SOURCES = [
+    Path(__file__).parent / "_native" / "nifti_decode.cpp",
+    Path(__file__).parent / "_native" / "affine_resample.cpp",
+]
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
 def _build() -> Optional[ctypes.CDLL]:
-    src = _SRC.read_text()
+    src = "".join(p.read_text() for p in _SOURCES)
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     cache = Path(os.environ.get("FTX_NATIVE_CACHE", Path(tempfile.gettempdir()) / "ftx_native"))
     cache.mkdir(parents=True, exist_ok=True)
-    so = cache / f"nifti_decode_{tag}.so"
+    so = cache / f"ftx_data_native_{tag}.so"
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            str(_SRC), "-o", str(tmp), "-lz",
+            *[str(p) for p in _SOURCES], "-o", str(tmp), "-lz", "-lpthread",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -58,6 +66,16 @@ def _build() -> Optional[ctypes.CDLL]:
     ]
     lib.ftx_free.restype = None
     lib.ftx_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.ftx_affine_resample.restype = ctypes.c_int
+    lib.ftx_affine_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # src
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # C, D0-2
+        ctypes.POINTER(ctypes.c_double),  # matrix (9)
+        ctypes.POINTER(ctypes.c_double),  # offset (3)
+        ctypes.POINTER(ctypes.c_float),  # dst
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # O0-2
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+    ]
     return lib
 
 
@@ -103,3 +121,45 @@ def native_load_nifti(path: str | os.PathLike):
         lib.ftx_free(data_ptr)
     aff = np.array(affine, dtype=np.float64).reshape(4, 4)
     return data, aff
+
+
+def native_affine_resample(
+    arr: np.ndarray,
+    matrix: np.ndarray,
+    offset: np.ndarray,
+    order: int = 1,
+    mode: str = "nearest",
+    cval: float = 0.0,
+    output_shape: Optional[tuple] = None,
+    num_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Multi-channel 3-D affine resample, scipy.ndimage semantics.
+
+    ``arr`` is ``(C, D0, D1, D2)``; the sample point for output index ``o``
+    is ``matrix @ o + offset`` (matching ``ndi.affine_transform`` with
+    ``prefilter=False``).  The coordinate transform and trilinear weights
+    are computed once per voxel and reused across all C channels (scipy
+    redoes them per channel), with slice-parallel worker threads.  Returns
+    ``None`` when unavailable or unsupported (caller falls back to scipy).
+    """
+    lib = get_library()
+    if lib is None or arr.ndim != 4 or order not in (0, 1):
+        return None
+    pad_mode = {"nearest": 0, "constant": 1}.get(mode)
+    if pad_mode is None:
+        return None
+    src = np.ascontiguousarray(arr, dtype=np.float32)
+    m = np.ascontiguousarray(matrix, dtype=np.float64).reshape(9)
+    off = np.ascontiguousarray(offset, dtype=np.float64).reshape(3)
+    out_sp = tuple(output_shape) if output_shape is not None else src.shape[1:]
+    dst = np.empty((src.shape[0], *out_sp), dtype=np.float32)
+    rc = lib.ftx_affine_resample(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        src.shape[0], src.shape[1], src.shape[2], src.shape[3],
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_sp[0], out_sp[1], out_sp[2],
+        int(order), pad_mode, float(cval), int(num_threads),
+    )
+    return dst if rc == 0 else None

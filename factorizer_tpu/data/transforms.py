@@ -595,15 +595,26 @@ class RandAffined(RandomizableTransform):
                 continue
             arr = np.asarray(d[key])
             order = 1 if mode == "bilinear" else 0
-            out = np.stack(
-                [
-                    ndi.affine_transform(
-                        c, m, offset=offset, order=order, mode=self.padding_mode, prefilter=False
-                    )
-                    for c in arr.astype(np.float32)
-                ],
-                axis=0,
-            )
+            out = None
+            if ndim == 3 and self.padding_mode in ("nearest", "constant"):
+                # native fast path: coordinate transform + trilinear weights
+                # computed once per voxel for ALL channels, slice-threaded
+                from .native import native_affine_resample
+
+                out = native_affine_resample(
+                    arr.astype(np.float32, copy=False), m, offset,
+                    order=order, mode=self.padding_mode,
+                )
+            if out is None:
+                out = np.stack(
+                    [
+                        ndi.affine_transform(
+                            c, m, offset=offset, order=order, mode=self.padding_mode, prefilter=False
+                        )
+                        for c in arr.astype(np.float32)
+                    ],
+                    axis=0,
+                )
             d[key] = out if order == 1 else out.astype(arr.dtype)
         return d
 

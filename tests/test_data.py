@@ -103,6 +103,42 @@ class TestTransforms:
         assert np.isfinite(out["image"]).all()
         assert set(np.unique(out["label"])) <= set(np.unique(d["label"]))  # nearest keeps labels
 
+    def test_native_affine_resample_matches_scipy(self):
+        """The C++ multi-channel resampler is exact vs scipy.ndimage for
+        every (order, mode) combination RandAffined can emit."""
+        import scipy.ndimage as ndi
+
+        from factorizer_tpu.data.native import native_affine_resample, native_available
+
+        if not native_available():
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        rs = np.random.RandomState(0)
+        arr = rs.rand(3, 13, 11, 9).astype(np.float32)
+        ang = rs.uniform(-0.4, 0.4, 3)
+        cx, sx = np.cos(ang[0]), np.sin(ang[0])
+        cy, sy = np.cos(ang[1]), np.sin(ang[1])
+        cz, sz = np.cos(ang[2]), np.sin(ang[2])
+        m = (
+            np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+            @ np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            @ np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            @ np.diag(1 + rs.uniform(-0.3, 0.3, 3))
+        )
+        center = (np.array(arr.shape[1:]) - 1) / 2.0
+        off = center - m @ center
+        for order in (0, 1):
+            for mode in ("nearest", "constant"):
+                ref = np.stack([
+                    ndi.affine_transform(c, m, offset=off, order=order, mode=mode,
+                                         cval=0.25, prefilter=False)
+                    for c in arr
+                ])
+                got = native_affine_resample(arr, m, off, order=order, mode=mode, cval=0.25)
+                assert got is not None
+                np.testing.assert_allclose(got, ref, atol=2e-5), (order, mode)
+
     def test_invertd_roundtrip_geometry(self, tmp_path):
         """pred in processed space -> Invertd -> native image geometry."""
         d = T.LoadImaged(["image"])(_sample(tmp_path))
