@@ -400,6 +400,23 @@ class Spacingd(MapTransform):
 
     @staticmethod
     def _resample(arr: np.ndarray, zoom: Sequence[float], order: int) -> np.ndarray:
+        # ndi.zoom's (grid_mode=False) coordinate map is endpoint-aligned:
+        # in = out * (in_size-1)/(out_size-1) — a diagonal affine, so the
+        # native multi-channel resampler covers it (scipy fallback below).
+        out_shape = tuple(int(round(s * z)) for s, z in zip(arr.shape[1:], zoom))
+        if arr.ndim == 4:
+            from .native import native_affine_resample
+
+            diag = [
+                (s - 1) / (o - 1) if o > 1 else 0.0
+                for s, o in zip(arr.shape[1:], out_shape)
+            ]
+            out = native_affine_resample(
+                arr.astype(np.float32, copy=False), np.diag(diag), np.zeros(3),
+                order=order, mode="nearest", output_shape=out_shape,
+            )
+            if out is not None:
+                return out.astype(arr.dtype, copy=False)
         out = [ndi.zoom(c, zoom, order=order, mode="nearest", prefilter=False) for c in arr]
         return np.stack(out, axis=0)
 

@@ -139,6 +139,27 @@ class TestTransforms:
                 assert got is not None
                 np.testing.assert_allclose(got, ref, atol=2e-5), (order, mode)
 
+    def test_spacingd_resample_matches_ndi_zoom(self):
+        """Spacingd's native diagonal-affine route is exact vs ndi.zoom
+        (endpoint-aligned map, output-shape rounding included)."""
+        import scipy.ndimage as ndi
+
+        from factorizer_tpu.data.transforms import Spacingd
+
+        rs = np.random.RandomState(1)
+        for shape, zoom in [((2, 13, 11, 9), (1.3, 0.8, 2.0)),
+                            ((1, 7, 7, 7), (0.5, 0.5, 0.5)),
+                            ((3, 20, 20, 20), (1.17, 0.93, 1.01))]:
+            arr = rs.rand(*shape).astype(np.float32)
+            for order in (0, 1):
+                ref = np.stack([
+                    ndi.zoom(c, zoom, order=order, mode="nearest", prefilter=False)
+                    for c in arr
+                ])
+                got = Spacingd._resample(arr, zoom, order)
+                assert got.shape == ref.shape
+                np.testing.assert_allclose(got, ref, atol=1e-6)
+
     def test_invertd_roundtrip_geometry(self, tmp_path):
         """pred in processed space -> Invertd -> native image geometry."""
         d = T.LoadImaged(["image"])(_sample(tmp_path))
