@@ -881,10 +881,7 @@ class Invertd(MapTransform):
             orig = record["orig_shape"]
             zoom = [o / c for o, c in zip(orig, arr.shape[1:])]
             order = 0 if self.nearest else 1
-            out = np.stack(
-                [ndi.zoom(c, zoom, order=order, mode="nearest", prefilter=False) for c in arr],
-                axis=0,
-            )
+            out = Spacingd._resample(np.asarray(arr), zoom, order)
             # zoom rounding can be off by one voxel: crop/pad to the exact shape
             out = out[(slice(None), *[slice(0, o) for o in orig])]
             pads = [(0, 0)] + [(0, max(o - s, 0)) for o, s in zip(orig, out.shape[1:])]
