@@ -582,8 +582,12 @@ class RandAffined(RandomizableTransform):
         )
 
     def _matrix(self, ndim: int) -> np.ndarray:
+        # ranges shorter than ndim pad with 0 (no rotation / no scaling for
+        # the missing dims), like MONAI RandAffine's None entries
         angles = [float(self.rng.uniform(-r, r)) for r in self.rotate_range[:ndim]]
+        angles += [0.0] * (ndim - len(angles))
         scales = [1.0 + float(self.rng.uniform(-s, s)) for s in self.scale_range[:ndim]]
+        scales += [1.0] * (ndim - len(scales))
         m = np.diag(scales)
         if ndim == 3:
             cx, sx = math.cos(angles[0]), math.sin(angles[0])
@@ -613,15 +617,24 @@ class RandAffined(RandomizableTransform):
             arr = np.asarray(d[key])
             order = 1 if mode == "bilinear" else 0
             out = None
-            if ndim == 3 and self.padding_mode in ("nearest", "constant"):
+            if ndim in (2, 3) and self.padding_mode in ("nearest", "constant"):
                 # native fast path: coordinate transform + trilinear weights
-                # computed once per voxel for ALL channels, slice-threaded
+                # computed once per voxel for ALL channels, slice-threaded.
+                # 2-D runs as a depth-1 volume with an identity depth axis.
                 from .native import native_affine_resample
 
+                if ndim == 2:
+                    m3 = np.eye(3)
+                    m3[1:, 1:] = m
+                    off3 = np.concatenate([[0.0], offset])
+                    src = arr.astype(np.float32, copy=False)[:, None]
+                else:
+                    m3, off3, src = m, offset, arr.astype(np.float32, copy=False)
                 out = native_affine_resample(
-                    arr.astype(np.float32, copy=False), m, offset,
-                    order=order, mode=self.padding_mode,
+                    src, m3, off3, order=order, mode=self.padding_mode,
                 )
+                if out is not None and ndim == 2:
+                    out = out[:, 0]
             if out is None:
                 out = np.stack(
                     [

@@ -139,6 +139,30 @@ class TestTransforms:
                 assert got is not None
                 np.testing.assert_allclose(got, ref, atol=2e-5), (order, mode)
 
+    def test_randaffined_2d_native_matches_scipy(self):
+        """The 2-D RandAffined path (depth-1 embedded native resample, incl.
+        1-element rotate/scale ranges) matches the scipy formula."""
+        import scipy.ndimage as ndi
+
+        rs = np.random.RandomState(0)
+        img = rs.rand(3, 41, 37).astype(np.float32)
+        t = T.RandAffined(["image"], prob=1.0, rotate_range=(0.3,),
+                          scale_range=(0.2,), mode="bilinear")
+        t.set_random_state(5)
+        out = t({"image": img.copy()})["image"]
+        t2 = T.RandAffined(["image"], prob=1.0, rotate_range=(0.3,),
+                           scale_range=(0.2,), mode="bilinear")
+        t2.set_random_state(5)
+        assert t2._do()
+        m = t2._matrix(2)
+        center = (np.array(img.shape[1:]) - 1) / 2.0
+        off = center - m @ center
+        ref = np.stack([
+            ndi.affine_transform(c, m, offset=off, order=1, mode="nearest", prefilter=False)
+            for c in img
+        ])
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
     def test_spacingd_resample_matches_ndi_zoom(self):
         """Spacingd's native diagonal-affine route is exact vs ndi.zoom
         (endpoint-aligned map, output-shape rounding included)."""
