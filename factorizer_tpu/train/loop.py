@@ -253,10 +253,14 @@ class SegmentationTrainer:
                 if val_metrics["mean_dice"] > self.best_metric:
                     self.best_metric = val_metrics["mean_dice"]
 
-            if self.ckpt is not None and process_is_primary():
-                # async: the disk write overlaps the next epoch (the arrays
-                # are copied to host before save() returns, so donation of
-                # the state into the next step is safe)
+            if self.ckpt is not None:
+                # ALL processes call save: in a multi-host run orbax
+                # coordinates the write itself (a rank-0 gate would fail on
+                # non-fully-addressable sharded arrays); single-process runs
+                # are unaffected.  async: the disk write overlaps the next
+                # epoch (the arrays are copied to host before save()
+                # returns, so donation of the state into the next step is
+                # safe)
                 if self._ckpt_best:
                     # best-by-metric retention: only validated epochs are
                     # candidates, and orbax keeps the max_to_keep highest
@@ -273,7 +277,7 @@ class SegmentationTrainer:
             if self.log_dir and process_is_primary():
                 (self.log_dir / "history.jsonl").open("a").write(json.dumps(record) + "\n")
 
-        if self.ckpt is not None and process_is_primary():
+        if self.ckpt is not None:
             self.ckpt.wait()  # final epoch's save must be durable before return
         return state
 
