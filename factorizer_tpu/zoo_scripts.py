@@ -95,8 +95,15 @@ def evaluate_bundle(
     sw_batch_size: int = 2,
     overlap: float = 0.5,
     compute_hd95: bool = True,
+    channel_names: Optional[Sequence[str]] = None,
 ) -> dict:
-    """Checkpointed sliding-window evaluation with per-case metrics + NIfTI export."""
+    """Checkpointed sliding-window evaluation with per-case metrics + NIfTI export.
+
+    ``channel_names`` labels the prediction channels (e.g. BraTS nested
+    regions ``["et", "tc", "wt"]``) so the metrics dict carries
+    ``dice_<name>`` per-region means matching the reference metadata's
+    eval_metrics keys (reference: configs/metadata.json:42-44).
+    """
     variables = load_model_checkpoint(model, ckpt_path, roi_size)
     evaluator = Evaluator(model, variables, roi_size, sw_batch_size, overlap, compute_hd95=False)
 
@@ -133,6 +140,10 @@ def evaluate_bundle(
     metrics = {
         "mean_dice": float(np.nanmean(np.concatenate(dices, axis=0))) if dices else float("nan"),
     }
+    if channel_names and dices:
+        per_channel = np.nanmean(np.concatenate(dices, axis=0), axis=0)
+        for name, value in zip(channel_names, per_channel):
+            metrics[f"dice_{name}"] = float(value)
     if hds:
         hd_arr = np.asarray(hds, dtype=np.float64)
         # Guard the all-NaN case (every mask empty): nanmean of an empty slice

@@ -374,6 +374,8 @@ def evaluate_yaml(ds: dict) -> str:
             "roi_size": "@roi_size",
             "output_dir": "@pred_dir",
             "case_metrics_path": "$@output_dir + '/case_metrics.json'",
+            # per-region dice keys in the output match metadata eval_metrics
+            "channel_names": ds["regions"],
         },
         "run": ["@evaluator"],
     }

@@ -157,6 +157,10 @@ def main() -> int:
         print("metadata has no eval_metrics.mean_dice target; nothing to compare")
         return 0
     print(f"metadata target:    {target:.4f}  (tolerance {args.tolerance})")
+    # informational per-region comparison (gate stays on mean_dice)
+    for key, tgt in sorted((meta.get("eval_metrics") or {}).items()):
+        if key.startswith("dice_") and key in metrics:
+            print(f"  {key}: measured {metrics[key]:.4f} vs metadata {tgt:.4f}")
     ok = valid and got >= target - args.tolerance
     print("PARITY: PASS" if ok else "PARITY: FAIL")
     return 0 if ok else 1
