@@ -2,6 +2,7 @@ from .nifti import NiftiImage, load_nifti, save_nifti
 from .dataset import (
     Dataset,
     CacheDataset,
+    PersistentDataset,
     DataLoader,
     load_decathlon_datalist,
     partition_datalist,

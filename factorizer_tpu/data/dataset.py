@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import queue
 import threading
 from pathlib import Path
@@ -150,6 +151,63 @@ class CacheDataset(Dataset):
             item = self._load(idx)
             with self._lock:
                 self._cache[idx] = item
+        if self.random_transform is not None:
+            item = self.random_transform(dict(item))
+        return item
+
+
+class PersistentDataset(Dataset):
+    """Disk-cached deterministic transforms; random tail applied lazily.
+
+    The MONAI ``PersistentDataset`` analogue: the first access of each case
+    writes the deterministic-transform output to ``cache_dir`` (atomic
+    pickle), and every later access — across epochs, worker processes, AND
+    separate runs — reads it back instead of re-running load/orient/spacing/
+    normalize.  Cache keys hash the case dict only, so clear ``cache_dir``
+    (or pass a new ``cache_tag``) when the deterministic pipeline changes.
+    """
+
+    def __init__(
+        self,
+        data: Sequence[dict],
+        transform: Optional[Callable] = None,
+        random_transform: Optional[Callable] = None,
+        cache_dir: str | Path = "persistent_cache",
+        cache_tag: str = "",
+    ) -> None:
+        super().__init__(data, transform)
+        self.random_transform = random_transform
+        self.cache_dir = Path(cache_dir)
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self.cache_tag = cache_tag
+
+    def _key(self, idx: int) -> Path:
+        import hashlib
+        import json as _json
+
+        case = self.data[idx]
+        blob = _json.dumps(
+            {k: str(v) for k, v in sorted(case.items())}, sort_keys=True
+        ) + self.cache_tag
+        return self.cache_dir / (hashlib.sha1(blob.encode()).hexdigest() + ".pkl")
+
+    def __getitem__(self, idx: int) -> dict:
+        import pickle
+
+        path = self._key(idx)
+        item = None
+        if path.exists():
+            try:
+                item = pickle.loads(path.read_bytes())
+            except Exception:
+                item = None  # corrupt/partial entry: recompute below
+        if item is None:
+            item = dict(self.data[idx])
+            if self.transform is not None:
+                item = self.transform(item)
+            tmp = path.with_suffix(f".tmp{os.getpid()}")
+            tmp.write_bytes(pickle.dumps(item, protocol=4))
+            os.replace(tmp, path)  # atomic: safe under concurrent workers
         if self.random_transform is not None:
             item = self.random_transform(dict(item))
         return item

@@ -103,6 +103,41 @@ class TestTransforms:
         assert np.isfinite(out["image"]).all()
         assert set(np.unique(out["label"])) <= set(np.unique(d["label"]))  # nearest keeps labels
 
+    def test_persistent_dataset_caches_across_instances(self, tmp_path):
+        """PersistentDataset runs the deterministic transform once per case
+        across epochs AND dataset instances (disk cache), while the random
+        tail still runs every access."""
+        from factorizer_tpu.data import PersistentDataset
+
+        calls = {"n": 0}
+
+        def det(d):
+            calls["n"] += 1
+            return {**d, "x": d["x"] * 2}
+
+        rand_calls = {"n": 0}
+
+        def tail(d):
+            rand_calls["n"] += 1
+            return d
+
+        data = [{"x": np.full((2,), float(i)), "id": f"c{i}"} for i in range(3)]
+        ds1 = PersistentDataset(data, transform=det, random_transform=tail,
+                                cache_dir=tmp_path / "pc")
+        out1 = [ds1[i] for i in range(3)] + [ds1[i] for i in range(3)]
+        assert calls["n"] == 3  # second epoch served from disk
+        assert rand_calls["n"] == 6
+        ds2 = PersistentDataset(data, transform=det, random_transform=tail,
+                                cache_dir=tmp_path / "pc")
+        out2 = [ds2[i] for i in range(3)]
+        assert calls["n"] == 3  # new instance: still cached
+        np.testing.assert_array_equal(out2[1]["x"], out1[1]["x"])
+        # a different cache_tag invalidates
+        ds3 = PersistentDataset(data, transform=det, cache_dir=tmp_path / "pc",
+                                cache_tag="v2")
+        ds3[0]
+        assert calls["n"] == 4
+
     def test_native_affine_resample_matches_scipy(self):
         """The C++ multi-channel resampler is exact vs scipy.ndimage for
         every (order, mode) combination RandAffined can emit."""
