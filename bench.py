@@ -38,17 +38,12 @@ import json
 import os
 import time
 
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 
-# Persistent XLA compilation cache: flagship compiles take minutes over the
-# axon tunnel; cache hits make reruns (and the driver's bench run) fast.
-jax.config.update(
-    "jax_compilation_cache_dir", str(Path(__file__).resolve().parent / ".cache" / "jax")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from factorizer_tpu.utils.jax_cache import configure_compile_cache
+
+configure_compile_cache()
 
 REFERENCE_CPU_LATENCY_S = 16.19  # tests/profiler.json, Factorizer @ (1,2,128^3)
 

@@ -181,13 +181,28 @@ class PersistentDataset(Dataset):
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         self.cache_tag = cache_tag
 
+    @staticmethod
+    def _stable(v) -> str:
+        """Content-complete string for hashing: str(ndarray) truncates large
+        arrays with '...', which would collide distinct cases."""
+        import hashlib
+
+        if isinstance(v, np.ndarray):
+            return (
+                f"ndarray:{v.shape}:{v.dtype}:"
+                + hashlib.sha1(np.ascontiguousarray(v).tobytes()).hexdigest()
+            )
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes:" + hashlib.sha1(bytes(v)).hexdigest()
+        return f"{type(v).__name__}:{v}"
+
     def _key(self, idx: int) -> Path:
         import hashlib
         import json as _json
 
         case = self.data[idx]
         blob = _json.dumps(
-            {k: str(v) for k, v in sorted(case.items())}, sort_keys=True
+            {k: self._stable(v) for k, v in sorted(case.items())}, sort_keys=True
         ) + self.cache_tag
         return self.cache_dir / (hashlib.sha1(blob.encode()).hexdigest() + ".pkl")
 
@@ -278,6 +293,13 @@ def _pool_initializer(counter, token: int, epoch: int) -> None:
 
 def _getitem_shared(idx: int):
     return _worker_dataset[idx]
+
+
+class _ProducerError:
+    """Queue sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException) -> None:
+        self.exc = exc
 
 
 class DataLoader:
@@ -420,6 +442,10 @@ class DataLoader:
                             if not put(self.collate_fn(items)):
                                 return
                 put(None)
+            except BaseException as exc:  # surface worker/transform errors
+                # without a sentinel the consumer would block on q.get()
+                # forever while this daemon thread dies silently
+                put(_ProducerError(exc))
             finally:
                 _shared_datasets.pop(token, None)
 
@@ -430,6 +456,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise RuntimeError("DataLoader worker failed") from batch.exc
                 yield batch
         finally:
             stop.set()

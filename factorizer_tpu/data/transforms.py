@@ -167,6 +167,15 @@ def _push_record(data: dict, key: str, record: dict) -> None:
     data.setdefault(f"{key}_transforms", []).append(record)
 
 
+def _resample_threads() -> int:
+    """Native-resampler thread count: auto on the main process, 1 inside a
+    forked DataLoader worker (N workers x hardware_concurrency threads would
+    oversubscribe the host and undo the pool's parallelism)."""
+    from .dataset import get_worker_id
+
+    return 1 if get_worker_id() is not None else 0
+
+
 # ---------------------------------------------------------------- IO
 
 
@@ -414,6 +423,7 @@ class Spacingd(MapTransform):
             out = native_affine_resample(
                 arr.astype(np.float32, copy=False), np.diag(diag), np.zeros(3),
                 order=order, mode="nearest", output_shape=out_shape,
+                num_threads=_resample_threads(),
             )
             if out is not None:
                 return out.astype(arr.dtype, copy=False)
@@ -632,6 +642,7 @@ class RandAffined(RandomizableTransform):
                     m3, off3, src = m, offset, arr.astype(np.float32, copy=False)
                 out = native_affine_resample(
                     src, m3, off3, order=order, mode=self.padding_mode,
+                    num_threads=_resample_threads(),
                 )
                 if out is not None and ndim == 2:
                     out = out[:, 0]

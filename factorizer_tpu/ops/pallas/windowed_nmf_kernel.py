@@ -306,16 +306,31 @@ def _field_tail(x4, u, v, mask, *, solver, num_iters, eps,
     return u[None, :, None, :] * v
 
 
-def _roll_last_spatial(t: Array, s3: int, size: int) -> Array:
-    """Static cyclic roll along the block's last spatial (sublane) axis.
+def _roll_packed3(t: Array, sh: int, pack: int) -> Array:
+    """Cyclic natural-dim-3 roll applied in the lane-packed view (in-kernel).
 
-    Implemented as slice+concat so it lowers on Mosaic and in interpret mode.
-    ``rolled[..., t, :] = x[..., (t - s3) % size, :]`` (jnp.roll semantics).
+    ``t`` is a packed block ``(..., chunk, pack*C)`` where lane group ``k``
+    holds natural dim-3 rows ``[k*chunk, (k+1)*chunk)`` (see ``_pack_lanes``).
+    Returns the packed image of ``jnp.roll`` by ``sh`` along the natural
+    dim-3 axis: ``out[..., g, k*C+c] = nat[..., (k*chunk + g - sh) % S3, c]``.
+    A sublane roll covers the within-chunk part; positions that cross a chunk
+    boundary additionally take the neighbouring lane group, one lane roll of
+    ``C`` away — the same trick as depthwise_packed's tap shifts.
     """
-    if s3 % size == 0:
+    chunk, cp = t.shape[-2], t.shape[-1]
+    c = cp // pack
+    sh = sh % (chunk * pack)
+    if sh == 0:
         return t
-    s3 = s3 % size
-    return jnp.concatenate([t[..., size - s3 :, :], t[..., : size - s3, :]], axis=-2)
+    q, m = divmod(sh, chunk)
+    a = pltpu.roll(t, shift=m, axis=t.ndim - 2) if m else t
+    lo_sh, hi_sh = (q * c) % cp, ((q + 1) * c) % cp
+    lo = pltpu.roll(a, shift=lo_sh, axis=t.ndim - 1) if lo_sh else a
+    if m == 0:
+        return lo
+    hi = pltpu.roll(a, shift=hi_sh, axis=t.ndim - 1) if hi_sh else a
+    g = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 2)
+    return jnp.where(g >= m, lo, hi)
 
 
 def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
@@ -323,17 +338,18 @@ def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
                   precision=jax.lax.Precision.HIGHEST, pack: int = 1):
     """Forward solve on a pre-shifted (via Element offsets) row of windows.
 
-    The block was loaded from the wrap-padded volume at element offset
-    ``i*p + p - s`` in dims 1/2, so only the cyclic dim-3 shift remains; it is
-    applied (and inverted) on-chip so ``jnp.roll`` never materializes in HBM.
-    The output block is written in dims-1/2-rolled coordinates (the caller
-    rolls those back; XLA fuses that into the shift-averaging add).
+    The block was loaded — already lane-packed, so every DMA runs at full
+    128-lane width (a natural C<128 minor dim would force Mosaic's 4x-padded
+    T(8,128) operand layout) — from the wrap-padded volume at element offset
+    ``i*p + p - s`` in dims 1/2, so only the cyclic dim-3 shift remains; it
+    is applied on-chip in the packed view (``_roll_packed3``) so ``jnp.roll``
+    never materializes in HBM.  The output block is written in
+    dims-1/2-rolled coordinates (the caller rolls those back; XLA fuses that
+    into the shift-averaging add).
     """
     p = patch
-    _, _, _, s3, c = x_ref.shape
-    s3p, cp = s3 // pack, c * pack
-    x = _roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3)
-    x = _pack_lanes(x, pack)
+    _, _, _, s3p, cp = x_ref.shape
+    x = _roll_packed3(x_ref[0].astype(jnp.float32), shift3, pack)
     y = _solve_field(
         x.reshape(p * p, s3p // p, p, cp),
         u0b_ref[...].astype(jnp.float32), v0p_ref[...].astype(jnp.float32),
@@ -350,13 +366,15 @@ def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch
                       shift3: int, solver: str, num_iters: int,
                       num_grad_steps, eps: float,
                       precision=jax.lax.Precision.HIGHEST, pack: int = 1):
-    """VJP of the shifted block-local solve, entirely in VMEM."""
+    """VJP of the shifted block-local solve, entirely in VMEM.
+
+    Both operands arrive lane-packed (full-lane DMA, see ``_shift_kernel``).
+    """
     p = patch
-    _, _, _, s3, c = x_ref.shape
-    s3p, cp = s3 // pack, c * pack
+    _, _, _, s3p, cp = x_ref.shape
     g3 = s3p // p
-    x = _pack_lanes(_roll_last_spatial(x_ref[0].astype(jnp.float32), shift3, s3), pack)
-    g = _pack_lanes(_roll_last_spatial(g_ref[0].astype(jnp.float32), shift3, s3), pack)
+    x = _roll_packed3(x_ref[0].astype(jnp.float32), shift3, pack)
+    g = _roll_packed3(g_ref[0].astype(jnp.float32), shift3, pack)
     u0b = u0b_ref[...].astype(jnp.float32)
     v0p = v0p_ref[...].astype(jnp.float32)
     mask = mask_ref[...].astype(jnp.float32)
@@ -397,12 +415,14 @@ def _pad12(x: Array, p: int) -> Array:
 
 def _shifted_specs(patch: int, s1: int, s2: int, s3: int, c: int,
                    shift: tuple[int, int, int], pack: int = 1):
-    """Specs for one shifted pass: Element-indexed reads from the padded volume."""
+    """Specs for one shifted pass: Element-indexed reads from the padded,
+    lane-packed volume (minor dim ``pack*C`` so DMA runs full-lane)."""
     p = patch
     cp = c * pack
     sh1, sh2, _ = shift
     in_spec = pl.BlockSpec(
-        (pl.Element(1), pl.Element(p), pl.Element(p), pl.Element(s3), pl.Element(c)),
+        (pl.Element(1), pl.Element(p), pl.Element(p), pl.Element(s3 // pack),
+         pl.Element(cp)),
         lambda b, i, j: (b, i * p + p - sh1, j * p + p - sh2, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -435,6 +455,9 @@ def _shift_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
                    pack: int = 1):
     """One shifted forward pass ``(xp, u0b, v0p, mask) -> y`` for this config.
 
+    ``xp`` is the wrap-padded volume already lane-packed by ``_pack_lanes``
+    (shape ``(B, S1+p, S2+p, S3/pack, pack*C)``).
+
     ``partitioned=True`` wraps it with a custom_partitioning rule so GSPMD
     shards along the batch dim (every other dim must be replicated: blocks
     read across window rows via element offsets and span full S3).
@@ -442,8 +465,9 @@ def _shift_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
     p = patch
 
     def local(xp, u0b, v0p, mask):
-        B, s1p, s2p, s3, c = xp.shape
+        B, s1p, s2p, s3p, cp = xp.shape
         s1, s2 = s1p - p, s2p - p
+        s3, c = s3p * pack, cp // pack
         in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh, pack)
         return pl.pallas_call(
             functools.partial(
@@ -481,7 +505,10 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
     c = x.shape[-1]
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
-    xp = _pad12(x, p)
+    # Pack lanes ONCE in XLA (fuses into the pad build): kernel operand
+    # blocks then carry a full-128-lane minor dim, avoiding Mosaic's
+    # 4x-padded T(8,128) DMA for natural C<128 blocks.
+    xp = _pack_lanes(_pad12(x, p), pack)
     part = multi_device()
 
     acc = None
@@ -507,8 +534,9 @@ def _shift_bwd_pass_fn(patch: int, sh: tuple[int, int, int], solver: str,
     p = patch
 
     def local(xp, gp, u0b, v0p, mask):
-        B, s1p, s2p, s3, c = xp.shape
+        B, s1p, s2p, s3p, cp = xp.shape
         s1, s2 = s1p - p, s2p - p
+        s3, c = s3p * pack, cp // pack
         in_spec, out_spec, const_specs = _shifted_specs(p, s1, s2, s3, c, sh, pack)
         return pl.pallas_call(
             functools.partial(
@@ -551,11 +579,11 @@ def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iter
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
     scale = 1.0 / len(shifts)
-    xp = _pad12(x, p)
+    xp = _pack_lanes(_pad12(x, p), pack)
     # The cotangent seen by each shift's solve is g rolled forward (the
     # adjoint of the output's inverse roll), handled by the same padded
     # Element-offset loads as the input.
-    gp = _pad12(g, p)
+    gp = _pack_lanes(_pad12(g, p), pack)
     part = multi_device()
 
     dacc = None

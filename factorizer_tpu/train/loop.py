@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+import numpy as np
 
 from ..parallel.mesh import process_is_primary
 from .checkpoint import CheckpointManager
@@ -245,6 +246,17 @@ class SegmentationTrainer:
                 and (epoch + 1) % self.val_interval == 0
             ):
                 val_metrics = self.validate()
+                if jax.process_count() > 1:
+                    # per-host loaders see disjoint datalist shards; average
+                    # the metrics globally so logging, best-metric tracking,
+                    # and best-checkpoint retention agree on every host
+                    from jax.experimental import multihost_utils
+
+                    val_metrics = {
+                        k: float(np.nanmean(multihost_utils.process_allgather(
+                            np.asarray(v, np.float64))))
+                        for k, v in val_metrics.items()
+                    }
                 record.update(val_metrics)
                 if process_is_primary():
                     logger.info("validation @ epoch %d: %s", epoch + 1, val_metrics)

@@ -103,6 +103,34 @@ class TestTransforms:
         assert np.isfinite(out["image"]).all()
         assert set(np.unique(out["label"])) <= set(np.unique(d["label"]))  # nearest keeps labels
 
+    def test_worker_error_propagates(self):
+        """A transform exception in a worker must raise in the consumer, not
+        wedge it on q.get() forever."""
+        import pytest
+
+        def bad(d):
+            raise ValueError("corrupt case")
+
+        data = [{"x": np.zeros((2,), np.float32), "id": f"c{i}"} for i in range(4)]
+        for procs in (False, True):
+            dl = DataLoader(Dataset(data, transform=bad), batch_size=2,
+                            num_workers=1, use_processes=procs)
+            with pytest.raises(RuntimeError, match="worker failed"):
+                list(dl)
+
+    def test_persistent_dataset_array_cases_hash_distinctly(self, tmp_path):
+        """Case dicts carrying large arrays must not collide via str()'s
+        '...' truncation."""
+        from factorizer_tpu.data import PersistentDataset
+
+        a = np.zeros(5000, np.float32)
+        b = a.copy()
+        b[2500] = 99.0
+        ds = PersistentDataset([{"x": a}, {"x": b}], transform=lambda d: d,
+                               cache_dir=tmp_path / "pc")
+        assert ds._key(0) != ds._key(1)
+        assert float(ds[1]["x"][2500]) == 99.0
+
     def test_persistent_dataset_caches_across_instances(self, tmp_path):
         """PersistentDataset runs the deterministic transform once per case
         across epochs AND dataset instances (disk cache), while the random

@@ -29,8 +29,9 @@ sys.path.insert(0, str(_REPO_ROOT))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", str(_REPO_ROOT / ".cache" / "jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from factorizer_tpu.utils.jax_cache import configure_compile_cache
+
+configure_compile_cache()
 
 BASELINE_PATH = Path(__file__).with_suffix(".json")
 TOLERANCE = 1.20  # fail at >20% regression
