@@ -203,6 +203,7 @@ def test_lane_packed_config_matches_xla():
         ((2, 8, 16, 24, 8), 4, 4),     # non-cubic spatial, B=2
         ((1, 8, 8, 8, 16), 16, 8),     # single window, head_dim == C
         ((1, 16, 16, 16, 4), 1, 4),    # head_dim 1
+        ((1, 8, 8, 64, 16), 8, 4),     # max lane packing (pack=8 at C=16)
     ],
 )
 def test_windowed_multi_edge_shapes(shape, d, p):
