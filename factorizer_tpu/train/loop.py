@@ -76,6 +76,7 @@ class SegmentationTrainer:
         compute_hd95: bool = False,
         max_to_keep: int = 1,
         ckpt_best: bool = False,
+        accum_steps: int = 1,
     ) -> None:
         self.model = model
         self.train_loader = train_loader
@@ -96,7 +97,9 @@ class SegmentationTrainer:
             warmup_steps=warmup_epochs * steps_per_epoch,
             total_steps=max_epochs * steps_per_epoch,
         )
-        self.train_step = make_train_step(model, loss_fn=loss_fn, mesh=mesh)
+        self.train_step = make_train_step(
+            model, loss_fn=loss_fn, mesh=mesh, accum_steps=accum_steps
+        )
 
         def _apply(variables, windows):
             out = model.apply(variables, windows)

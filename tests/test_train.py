@@ -153,6 +153,44 @@ class TestTrainStep:
         assert bool(jnp.isfinite(metrics["loss"]))
 
 
+class TestGradAccumulation:
+    def test_accumulated_step_matches_full_batch(self):
+        """accum_steps=2 must produce the same loss and updated params as
+        one full-batch step (mean-reduced losses; no dropout active)."""
+        import factorizer_tpu as ftx
+        from factorizer_tpu.train.trainer import TrainState, make_train_step
+
+        import optax
+
+        model = ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=(8, 8, 8),
+            encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+        )
+        x = jax.random.uniform(jax.random.key(0), (4, 2, 8, 8, 8))
+        y = (jax.random.uniform(jax.random.key(1), (4, 1, 8, 8, 8)) > 0.5).astype(jnp.float32)
+        variables = jax.jit(model.init)(jax.random.key(2), x)
+        tx = optax.sgd(1e-2)
+
+        def fresh_state():
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=variables["params"],
+                buffers=variables.get("buffers", {}),
+                opt_state=tx.init(variables["params"]), tx=tx,
+            )
+
+        batch = {"image": x, "label": y}
+        s1, m1 = make_train_step(model, donate=False)(fresh_state(), batch, jax.random.key(3))
+        s2, m2 = make_train_step(model, donate=False, accum_steps=2)(
+            fresh_state(), batch, jax.random.key(3)
+        )
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         from factorizer_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
