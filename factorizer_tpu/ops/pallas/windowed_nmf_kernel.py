@@ -169,6 +169,32 @@ def _pack_lanes(x: Array, pack: int) -> Array:
     )
 
 
+def _roll3_packed_xla(t: Array, r: int, pack: int, c: int) -> Array:
+    """``jnp.roll`` by ``r`` along the NATURAL dim-3 axis, applied in the
+    lane-packed view ``(..., S3/pack, pack*C)`` (see ``_pack_lanes``): a
+    within-chunk sublane roll plus lane-group rolls with a chunk-boundary
+    select — the XLA-side mirror of the in-kernel ``_roll_packed3``.
+    Lets the shift-averaging accumulate in the packed layout so the
+    Mosaic-boundary unpack relayout happens once per call, not per shift.
+    """
+    if pack == 1:
+        return jnp.roll(t, r, axis=-2)
+    chunk, cp = t.shape[-2], t.shape[-1]
+    r = r % (chunk * pack)
+    if r == 0:
+        return t
+    q, m = divmod(r, chunk)
+    a = jnp.roll(t, m, axis=-2) if m else t
+    lo_sh = (q * c) % cp
+    lo = jnp.roll(a, lo_sh, axis=-1) if lo_sh else a
+    if m == 0:
+        return lo
+    hi_sh = ((q + 1) * c) % cp
+    hi = jnp.roll(a, hi_sh, axis=-1) if hi_sh else a
+    g = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 2)
+    return jnp.where(g >= m, lo, hi)
+
+
 def _unpack_lanes_xla(yp: Array, pack: int, c: int) -> Array:
     """Undo lane packing OUTSIDE the kernel: (..., S3/pack, pack*C) ->
     (..., S3, C).  Mosaic cannot relayout lane-offset slices for a sublane
@@ -516,14 +542,17 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
         sh = _norm_shift(shift, p)
         fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
                             _pick_precision(x.dtype), part, pack)
-        ys = _unpack_lanes_xla(fn(xp, u0b, v0p, mask), pack, c)
+        ys = fn(xp, u0b, v0p, mask)
         # Undo the shift (the kernel output is in rolled coordinates in all
-        # three dims).  XLA fuses these gather-style rolls and the unpack
-        # into the averaging add.
-        if any(sh):
-            ys = jnp.roll(ys, tuple(-v for v in sh), (1, 2, 3))
+        # three dims) WITHOUT leaving the packed layout: dims 1/2 are
+        # untouched by packing; dim 3 uses the chunk-aware packed roll.  The
+        # boundary unpack relayout then happens once, after the average.
+        if sh[0] or sh[1]:
+            ys = jnp.roll(ys, (-sh[0], -sh[1]), (1, 2))
+        if sh[2]:
+            ys = _roll3_packed_xla(ys, -sh[2], pack, c)
         acc = ys if acc is None else acc + ys
-    return acc / len(shifts)
+    return _unpack_lanes_xla(acc, pack, c) / len(shifts)
 
 
 @functools.lru_cache(maxsize=None)
@@ -591,11 +620,13 @@ def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iter
         sh = _norm_shift(shift, p)
         fn = _shift_bwd_pass_fn(p, sh, solver, num_iters, num_grad_steps,
                                 float(eps), _pick_precision(x.dtype), part, pack)
-        dxs = _unpack_lanes_xla(fn(xp, gp, u0b, v0p, mask), pack, c)
-        if any(sh):
-            dxs = jnp.roll(dxs, tuple(-v for v in sh), (1, 2, 3))
+        dxs = fn(xp, gp, u0b, v0p, mask)
+        if sh[0] or sh[1]:
+            dxs = jnp.roll(dxs, (-sh[0], -sh[1]), (1, 2))
+        if sh[2]:
+            dxs = _roll3_packed_xla(dxs, -sh[2], pack, c)
         dacc = dxs if dacc is None else dacc + dxs
-    return dacc * scale
+    return _unpack_lanes_xla(dacc, pack, c) * scale
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))

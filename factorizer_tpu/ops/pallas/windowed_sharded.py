@@ -28,8 +28,10 @@ from .windowed_nmf_kernel import (
     EPS,
     _norm_shift,
     _pick_pack,
+    _pack_lanes,
     _pick_precision,
     _prep_inputs,
+    _roll3_packed_xla,
     _shift_bwd_pass_fn,
     _shift_pass_fn,
     _unpack_lanes_xla,
@@ -68,19 +70,24 @@ def _local_forward(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps,
     c = x.shape[-1]
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
-    xp = _pad12_halo(x, p, axis_name)
+    xp = _pack_lanes(_pad12_halo(x, p, axis_name), pack)
 
     acc = None
     for shift in shifts:
         sh = _norm_shift(shift, p)
         fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
                             _pick_precision(x.dtype), False, pack)
-        ys = _unpack_lanes_xla(fn(xp, u0b, v0p, mask), pack, c)
-        if sh[1] or sh[2]:
-            ys = jnp.roll(ys, (-sh[1], -sh[2]), (2, 3))
+        # Accumulate in the packed layout (dim 2 is untouched by packing;
+        # dim 3 uses the chunk-aware packed roll) and unpack once after the
+        # average; the dim-1 halo roll-back moves whole packed rows.
+        ys = fn(xp, u0b, v0p, mask)
+        if sh[1]:
+            ys = jnp.roll(ys, -sh[1], axis=2)
+        if sh[2]:
+            ys = _roll3_packed_xla(ys, -sh[2], pack, c)
         ys = _roll_back_dim1(ys, sh[0], axis_name)
         acc = ys if acc is None else acc + ys
-    return acc / len(shifts)
+    return _unpack_lanes_xla(acc, pack, c) / len(shifts)
 
 
 def _local_backward(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
@@ -89,20 +96,22 @@ def _local_backward(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
     c = x.shape[-1]
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
-    xp = _pad12_halo(x, p, axis_name)
-    gp = _pad12_halo(g, p, axis_name)
+    xp = _pack_lanes(_pad12_halo(x, p, axis_name), pack)
+    gp = _pack_lanes(_pad12_halo(g, p, axis_name), pack)
 
     dacc = None
     for shift in shifts:
         sh = _norm_shift(shift, p)
         fn = _shift_bwd_pass_fn(p, sh, solver, num_iters, num_grad_steps,
                                 float(eps), _pick_precision(x.dtype), False, pack)
-        dxs = _unpack_lanes_xla(fn(xp, gp, u0b, v0p, mask), pack, c)
-        if sh[1] or sh[2]:
-            dxs = jnp.roll(dxs, (-sh[1], -sh[2]), (2, 3))
+        dxs = fn(xp, gp, u0b, v0p, mask)
+        if sh[1]:
+            dxs = jnp.roll(dxs, -sh[1], axis=2)
+        if sh[2]:
+            dxs = _roll3_packed_xla(dxs, -sh[2], pack, c)
         dxs = _roll_back_dim1(dxs, sh[0], axis_name)
         dacc = dxs if dacc is None else dacc + dxs
-    return dacc / len(shifts)
+    return _unpack_lanes_xla(dacc, pack, c) / len(shifts)
 
 
 def windowed_nmf_multi_spatial(

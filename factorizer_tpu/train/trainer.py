@@ -102,6 +102,18 @@ def make_train_step(
 
         return jax.value_and_grad(compute_loss)(params)
 
+    def _micro(x):
+        """(B, ...) -> (accum_steps, B/accum_steps, ...); under a mesh the
+        MICROBATCH dim stays sharded over ``data_axis`` (without the
+        constraint GSPMD may shard the scan dim instead, serializing each
+        microbatch onto a device subset)."""
+        m = x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:])
+        if mesh is not None:
+            m = jax.lax.with_sharding_constraint(
+                m, NamedSharding(mesh, P(None, data_axis, *([None] * (x.ndim - 1))))
+            )
+        return m
+
     def step(state: TrainState, batch: dict, rng: jax.Array):
         images, labels = batch["image"], batch["label"]
 
@@ -110,9 +122,8 @@ def make_train_step(
             assert b % accum_steps == 0, (
                 f"batch {b} not divisible by accum_steps {accum_steps}"
             )
-            mb = b // accum_steps
-            images_m = images.reshape(accum_steps, mb, *images.shape[1:])
-            labels_m = labels.reshape(accum_steps, mb, *labels.shape[1:])
+            images_m = _micro(images)
+            labels_m = _micro(labels)
             rngs = jax.random.split(rng, accum_steps)
 
             def body(carry, xs):

@@ -232,3 +232,22 @@ def test_windowed_multi_edge_shapes(shape, d, p):
         return acc / len(shifts)
 
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x)), atol=2e-5)
+
+
+@pytest.mark.parametrize("s3,c,pack", [(32, 32, 4), (64, 16, 8), (16, 64, 2), (32, 32, 1)])
+def test_roll3_packed_xla_matches_natural_roll(s3, c, pack):
+    """The packed-view dim-3 roll equals jnp.roll in the natural view for
+    every shift (incl. the negative inverse shifts the callers use)."""
+    from factorizer_tpu.ops.pallas.windowed_nmf_kernel import (
+        _pack_lanes,
+        _roll3_packed_xla,
+        _unpack_lanes_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 3, s3, c), dtype=np.float32))
+    xp = _pack_lanes(x, pack)
+    for r in (-7, -1, 0, 1, 5, s3 - 1, -s3, 13):
+        want = jnp.roll(x, r, axis=-2)
+        got = _unpack_lanes_xla(_roll3_packed_xla(xp, r, pack, c), pack, c)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

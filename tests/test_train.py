@@ -190,6 +190,47 @@ class TestGradAccumulation:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    def test_accumulation_under_data_parallel_mesh(self):
+        """accum_steps under a dp mesh: microbatches stay batch-sharded and
+        the result matches the full-batch sharded step."""
+        import factorizer_tpu as ftx
+        from factorizer_tpu.parallel.mesh import data_parallel_mesh
+        from factorizer_tpu.train.trainer import TrainState, make_train_step
+
+        import optax
+
+        model = ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=(8, 8, 8),
+            encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+        )
+        x = jax.random.uniform(jax.random.key(0), (8, 2, 8, 8, 8))
+        y = (jax.random.uniform(jax.random.key(1), (8, 1, 8, 8, 8)) > 0.5).astype(jnp.float32)
+        variables = jax.jit(model.init)(jax.random.key(2), x)
+        tx = optax.sgd(1e-2)
+
+        def fresh_state():
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=variables["params"],
+                buffers=variables.get("buffers", {}),
+                opt_state=tx.init(variables["params"]), tx=tx,
+            )
+
+        mesh = data_parallel_mesh(4)
+        batch = {"image": x, "label": y}
+        with mesh:
+            s1, m1 = make_train_step(model, mesh=mesh, donate=False)(
+                fresh_state(), batch, jax.random.key(3)
+            )
+            s2, m2 = make_train_step(model, mesh=mesh, donate=False, accum_steps=2)(
+                fresh_state(), batch, jax.random.key(3)
+            )
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
