@@ -72,6 +72,35 @@ def build_models(spatial: int, dtype):
     return models
 
 
+def build_deconver_sweep(dtype):
+    """The reference profiler's 27-config Deconver grid
+    (reference: tests/profiler.py:55-73): groups x ratio x kernel_size over
+    ([1, 4, 8, -1], [1, 4, 8], [3, 5, 7]) filtered to -1 <= groups*ratio <= 32,
+    at the same 5-stage widths as the flagship config.
+
+    Param parity note: instantiating the REFERENCE code at these configs
+    matches this sweep exactly (e.g. g8/r4/k7 -> 84.33 M both), but the
+    reference's shipped tests/profiler.json disagrees for some ratio>1
+    grouped configs (10.92 M for that key) — their artifact predates the
+    current h0 parameter shape, so parity is asserted against the code."""
+    import itertools
+
+    import factorizer_tpu as ftx
+
+    models = {}
+    for groups, ratio, ks in itertools.product([1, 4, 8, -1], [1, 4, 8], [3, 5, 7]):
+        if not (-1 <= groups * ratio <= 32):
+            continue
+        models[f"deconver_g{groups}_r{ratio}_k{ks}"] = ftx.Deconver(
+            in_channels=2, out_channels=1, spatial_dims=3,
+            encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+            strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+            norm=ftx.InstanceNorm, groups=groups, ratio=ratio,
+            kernel_size=(ks, ks, ks), num_iters=1, mlp_ratio=3, dtype=dtype,
+        )
+    return models
+
+
 def measure(model, x, iters: int) -> dict:
     variables = jax.jit(model.init)(jax.random.key(0), x)
     n_params = sum(a.size for a in jax.tree.leaves(variables["params"]))
@@ -127,10 +156,19 @@ def main() -> None:
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--output", default="profiler.json")
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="profile the reference's 27-config Deconver groups x ratio x "
+        "kernel grid instead of the named families",
+    )
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    models = build_models(args.spatial, dtype)
+    if args.sweep:
+        models = build_deconver_sweep(dtype)
+        args.models = ",".join(models)
+    else:
+        models = build_models(args.spatial, dtype)
     x = jax.random.uniform(
         jax.random.key(1), (1, 2, args.spatial, args.spatial, args.spatial), jnp.float32
     )
