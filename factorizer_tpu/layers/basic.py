@@ -284,69 +284,14 @@ def _space_to_depth_matmul(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
     return x @ kernel.reshape(-1, kernel.shape[-1])
 
 
-def _strided_slice_matmul(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
-    """``kernel_size == strides`` conv as stride-k major-axis slices plus one
-    matmul per major offset (summed).
-
-    Exactly the same math as :func:`_space_to_depth_matmul`, but the minor
-    spatial axis is folded into the channel dim by a FREE byte reshape
-    (``(S3, C) -> (S3/k3, k3*C)`` is row-major-identical), and each major
-    offset becomes a stride-k slice whose contiguous runs are whole
-    ``S3 * C`` rows — versus the 8-D space-to-depth transpose whose
-    contiguous runs are only ``k3 * C`` elements (128 bytes at the stage-0
-    width).  The slice's transpose (backward) is an interior ``lax.pad``,
-    which XLA fuses into the summed cotangent.  Selected via ``FTX_S2D``.
-    """
-    B, *spatial, c = x.shape
-    grid = [s // k for s, k in zip(spatial, ks)]
-    co = kernel.shape[-1]
-    xf = x.reshape(B, *spatial[:-1], grid[-1], ks[-1] * c)
-    y = None
-    for off in itertools.product(*[range(k) for k in ks[:-1]]):
-        idx = (
-            slice(None),
-            *[slice(o, None, k) for o, k in zip(off, ks[:-1])],
-            slice(None),
-            slice(None),
-        )
-        part = xf[idx] @ kernel[off].reshape(ks[-1] * c, co)
-        y = part if y is None else y + part
-    return y
-
-
-def _strided_pad_matmul_transpose(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
-    """``kernel_size == strides`` ConvTranspose as one matmul per major
-    offset + interior-padded sums (the inverse of
-    :func:`_strided_slice_matmul`'s formulation).
-
-    The minor-axis interleave is a FREE byte reshape (``(g3, k3*CO) ->
-    (g3*k3, CO)``); each major offset's contribution lands via
-    ``lax.pad`` with interior padding ``k - 1``, which XLA fuses into the
-    sum — avoiding the depth-to-space transpose.  Same math as the
-    ``ks == st`` branch of :class:`_FastConvTranspose` (flipped kernel, see
-    there).  Selected via ``FTX_S2D``.
-    """
-    B, *grid, ci = x.shape
-    p = len(ks)
-    co = kernel.shape[-1]
-    flipped = kernel[(slice(None, None, -1),) * p]
-    y = None
-    for off in itertools.product(*[range(k) for k in ks[:-1]]):
-        m = jnp.transpose(flipped[off], (1, 0, 2)).reshape(ci, ks[-1] * co)
-        z = (x @ m).reshape(B, *grid[:-1], grid[-1] * ks[-1], co)
-        cfg = [(0, 0, 0)]
-        for o, k in zip(off, ks[:-1]):
-            cfg.append((o, k - 1 - o, k - 1))
-        cfg += [(0, 0, 0), (0, 0, 0)]
-        part = jax.lax.pad(z, jnp.zeros((), z.dtype), cfg)
-        y = part if y is None else y + part
-    return y
-
-
-def _s2d_mode() -> str:
-    """``FTX_S2D``: 'transpose' (space/depth-to-space reshapes) or 'slices'
-    (strided-slice / interior-pad matmul forms).  Read at trace time."""
-    return os.environ.get("FTX_S2D", "transpose")
+# A strided-slice alternative to the space-to-depth transpose was built and
+# measured AGAINST (round 3): folding the minor spatial axis into channels by
+# a free byte reshape ((S3, C) -> (S3/k3, k3*C)) and summing one matmul per
+# major offset over stride-k slices (backward: interior lax.pad fused into the
+# cotangent sum).  Exact parity, but the flagship bf16 forward measured
+# 49.5-51.3 ms vs 48.2-49.1 ms for the transpose form (0.95x, interleaved
+# runs) — XLA's 8-D space-to-depth transpose already outruns the k^2 summed
+# strided-slice matmuls, so the variant was deleted (PERFORMANCE.md).
 
 
 def _im2col_matmul(x: Array, kernel: Array, ks: Sequence[int], pads) -> Array:
@@ -418,10 +363,7 @@ class _FastConv(nn.Module):
             and no_pad
             and all(s % k == 0 for s, k in zip(spatial, ks))
         ):
-            if _s2d_mode() == "slices":
-                y = _strided_slice_matmul(x, kernel, ks)
-            else:
-                y = _space_to_depth_matmul(x, kernel, ks)
+            y = _space_to_depth_matmul(x, kernel, ks)
         elif (
             simple
             and all(s == 1 for s in st)
@@ -475,9 +417,7 @@ class _FastConvTranspose(nn.Module):
         )
         x, kernel, bias = _dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
 
-        if ks == st and _s2d_mode() == "slices":
-            y = _strided_pad_matmul_transpose(x, kernel, ks)
-        elif ks == st:
+        if ks == st:
             # lax.conv_transpose (transpose_kernel=False) applies the
             # spatially-flipped kernel; with k == s each input voxel expands
             # into an independent k^p block: y[..., i*k+a, co] =
