@@ -9,6 +9,7 @@ checkpoints for ensembling (inference.yaml:13,141-152).
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 from typing import Any, Optional
@@ -59,8 +60,37 @@ class CheckpointManager:
         """
         tree = _to_savable(state)
         self._mgr.save(step, args=ocp.args.StandardSave(tree), metrics=metrics)
+        if metrics is not None:
+            self._record_metrics(step, metrics)
         if block:
             self._mgr.wait_until_finished()
+
+    # orbax persists per-step metrics only when a best_fn is configured
+    # (checkpoint_manager.py:1512 gates on _track_best), so latest-retention
+    # runs would lose them across a resume.  A tiny JSON sidecar records every
+    # metric ever reported — which is also the right semantics for the
+    # trainer's best-validation watermark (max over all validations seen, not
+    # just over still-retained checkpoints).
+    @property
+    def _metrics_path(self) -> Path:
+        return self.directory / "metrics.json"
+
+    def _read_metrics_log(self) -> dict:
+        try:
+            return json.loads(self._metrics_path.read_text())
+        except (OSError, ValueError):
+            return {}
+
+    def _record_metrics(self, step: int, metrics: dict) -> None:
+        import jax
+
+        if jax.process_index() != 0:  # one writer on the shared ckpt dir
+            return
+        log = self._read_metrics_log()
+        log[str(step)] = {k: float(v) for k, v in metrics.items()}
+        tmp = self._metrics_path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_text(json.dumps(log, indent=1))
+        os.replace(tmp, self._metrics_path)
 
     def wait(self) -> None:
         """Block until all in-flight async saves are durable on disk."""
@@ -69,6 +99,22 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         self._mgr.wait_until_finished()  # an in-flight save IS the latest
         return self._mgr.latest_step()
+
+    def best_saved_metric(self, key: str) -> Optional[float]:
+        """Max of ``key`` over all retained checkpoints' saved metrics.
+
+        Lets a resumed trainer recover its best-validation watermark instead
+        of resetting to -inf and logging a spurious "new best" on the first
+        post-resume validation.  Returns None when no retained step carries
+        the metric (e.g. latest-retention runs saved before any validation).
+        """
+        self._mgr.wait_until_finished()
+        best: Optional[float] = None
+        for m in self._read_metrics_log().values():
+            if key in m:
+                v = float(m[key])
+                best = v if best is None else max(best, v)
+        return best
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
         step = self.latest_step() if step is None else step

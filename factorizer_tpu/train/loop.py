@@ -19,11 +19,15 @@ from typing import Any, Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import numpy as np
 
 from ..parallel.mesh import process_is_primary
 from .checkpoint import CheckpointManager
-from .metrics import MeanDice, MeanHausdorffDistance, dice_metric
+from .metrics import (
+    MeanDice,
+    MeanHausdorffDistance,
+    dice_metric,
+    voxel_spacing_from_meta,
+)
 from .schedules import make_adamw
 from .sliding_window import sliding_window_inference
 from .trainer import TrainState, create_train_state, make_train_step
@@ -154,7 +158,15 @@ class SegmentationTrainer:
                 buffers=restored["buffers"],
                 opt_state=restored["opt_state"],
             )
-            logger.info("resumed from checkpoint step %s", int(self.state.step))
+            # Recover the best-validation watermark so the first post-resume
+            # validation doesn't spuriously register as a new best.
+            saved_best = self.ckpt.best_saved_metric("mean_dice")
+            if saved_best is not None:
+                self.best_metric = saved_best
+            logger.info(
+                "resumed from checkpoint step %s (best mean_dice %s)",
+                int(self.state.step), saved_best,
+            )
         return self.state
 
     def _log(self, tag: str, value: float, step: int) -> None:
@@ -184,7 +196,11 @@ class SegmentationTrainer:
             preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
             dice.update(jnp.asarray(preds), jnp.asarray(labels))
             if hd is not None:
-                hd.update(preds, labels)
+                metas = batch.get("image_meta")
+                hd.update(
+                    preds, labels,
+                    spacing=voxel_spacing_from_meta(metas[0]) if metas else None,
+                )
             if not logged_images and self._tb is not None:
                 # TensorBoardImageHandler analogue (reference
                 # train.yaml:296-300): one center-slice panel per validation.
@@ -286,7 +302,16 @@ class SegmentationTrainer:
                             block=False,
                         )
                 else:
-                    self.ckpt.save(epoch + 1, state, metrics=None, block=False)
+                    # latest-retention runs still record the validation metric
+                    # alongside the step so best_metric survives a resume
+                    self.ckpt.save(
+                        epoch + 1, state,
+                        metrics=(
+                            {"mean_dice": float(val_metrics["mean_dice"])}
+                            if val_metrics is not None else None
+                        ),
+                        block=False,
+                    )
 
             self.history.append(record)
             if self.log_dir and process_is_primary():
@@ -345,7 +370,11 @@ class Evaluator:
             labels = np.asarray(batch["label"])
             dice.update(jnp.asarray(preds), jnp.asarray(labels))
             if hd is not None:
-                hd.update(preds, labels)
+                metas = batch.get("image_meta")
+                hd.update(
+                    preds, labels,
+                    spacing=voxel_spacing_from_meta(metas[0]) if metas else None,
+                )
             case_dice = np.nanmean(
                 np.asarray(dice_metric(jnp.asarray(preds), jnp.asarray(labels)))
             )

@@ -20,7 +20,35 @@ try:
 except ImportError:  # pragma: no cover
     _ndi = None
 
-__all__ = ["dice_metric", "MeanDice", "hausdorff_distance_95", "MeanHausdorffDistance"]
+__all__ = [
+    "dice_metric",
+    "MeanDice",
+    "hausdorff_distance_95",
+    "MeanHausdorffDistance",
+    "voxel_spacing_from_meta",
+]
+
+
+def voxel_spacing_from_meta(meta) -> Optional[tuple]:
+    """Voxel spacing (mm per voxel) from an image meta dict's affine.
+
+    The transform pipeline keeps ``<key>_meta["affine"]`` current through
+    Spacingd/Orientationd/Invertd, so the column norms of its rotation block
+    are the spacing of whatever grid the arrays are on right now — 1 mm after
+    a 1 mm Spacingd, native after Invertd.  Returns None when no usable
+    affine is present (e.g. raster 2-D images with identity affines still
+    return (1,1,1), which is correct).
+    """
+    if not isinstance(meta, dict):
+        return None
+    aff = meta.get("affine")
+    if aff is None:
+        return None
+    aff = np.asarray(aff, dtype=np.float64)
+    if aff.ndim != 2 or aff.shape[0] < 2:
+        return None
+    n = aff.shape[0] - 1
+    return tuple(np.sqrt((aff[:n, :n] ** 2).sum(axis=0)))
 
 
 def dice_metric(
@@ -92,6 +120,8 @@ class MeanDice:
         return float(np.nanmean(allv))
 
     def compute_per_channel(self) -> np.ndarray:
+        if not self._scores:
+            return np.asarray([], dtype=np.float64)
         allv = np.concatenate(self._scores, axis=0)
         return np.nanmean(allv, axis=0)
 
@@ -122,7 +152,15 @@ def hausdorff_distance_95(
 
     sp = _surface_points(pred)
     st = _surface_points(target)
-    sampling = spacing if spacing is not None else (1.0,) * pred.ndim
+    # Meta affines are homogeneous (often 4x4 even for 2-D rasters); keep the
+    # leading ndim entries so the EDT sampling always matches the mask rank.
+    sampling = (
+        tuple(spacing)[: pred.ndim] if spacing is not None else (1.0,) * pred.ndim
+    )
+    if len(sampling) != pred.ndim:
+        raise ValueError(
+            f"spacing has {len(sampling)} entries for a {pred.ndim}-D mask"
+        )
 
     # Distance from each surface to the other mask's surface.
     dt_t = _ndi.distance_transform_edt(~st, sampling=sampling)
@@ -145,14 +183,24 @@ class MeanHausdorffDistance:
     def reset(self) -> None:
         self._scores: list[float] = []
 
-    def update(self, pred, target) -> None:
+    def update(self, pred, target, spacing: Optional[tuple] = None) -> None:
+        """Accumulate HD95 per sample/channel.
+
+        ``spacing`` is the voxel spacing (mm per voxel, one value per spatial
+        dim) of the grid the masks live on; surface distances are then in mm
+        rather than voxels — matching MONAI's HausdorffDistanceMetric when it
+        receives spatially-calibrated meta (reference:
+        model_zoo/factorizer_brats23/scripts/metrics.py:25-45).
+        """
         pred = np.asarray(pred)
         target = np.asarray(target)
         c0 = 0 if self.include_background else 1
         for b in range(pred.shape[0]):
             for c in range(c0, pred.shape[1]):
                 self._scores.append(
-                    hausdorff_distance_95(pred[b, c], target[b, c], self.percentile)
+                    hausdorff_distance_95(
+                        pred[b, c], target[b, c], self.percentile, spacing=spacing
+                    )
                 )
 
     def compute(self) -> float:

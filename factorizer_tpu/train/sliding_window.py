@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import math
+from collections import OrderedDict
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -73,7 +74,17 @@ def sliding_window_positions(
 # One compiled executable per (predictor, shapes, config).  ``groups`` is
 # (n_groups, sw_batch, 1 + p) int32 of (sample, *window start); ``valid`` is
 # (n_groups, sw_batch) float32 with 0 for padding jobs.
-_RUNNER_CACHE: dict = {}
+# LRU-bounded: a long-lived inference service sweeping volume shapes (every
+# case shape is a distinct key) must not grow this without bound.  Evicting
+# drops our reference to the jitted wrapper; XLA keeps its own compilation
+# cache, so a re-miss re-traces but rarely re-compiles.
+_RUNNER_CACHE: "OrderedDict[tuple, Callable]" = OrderedDict()
+_RUNNER_CACHE_MAX = 32
+
+
+def clear_runner_cache() -> None:
+    """Drop all cached sliding-window executables (e.g. between services)."""
+    _RUNNER_CACHE.clear()
 
 
 def _gather_group(padded: Array, jobs: Array, roi: tuple) -> Array:
@@ -126,6 +137,7 @@ def _get_runner(
     key = (predictor, padded_shape, str(dtype), roi, n_groups, sw_batch_size, key_extra)
     fn = _RUNNER_CACHE.get(key)
     if fn is not None:
+        _RUNNER_CACHE.move_to_end(key)
         return fn
 
     def runner(padded, groups, valid, importance, *pred_args):
@@ -156,6 +168,8 @@ def _get_runner(
 
     fn = jax.jit(runner)
     _RUNNER_CACHE[key] = fn
+    while len(_RUNNER_CACHE) > _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.popitem(last=False)
     return fn
 
 

@@ -22,7 +22,7 @@ from .data import load_decathlon_datalist
 from .data import transforms as T
 from .train.checkpoint import restore_checkpoint
 from .train.loop import Evaluator
-from .train.metrics import dice_metric, hausdorff_distance_95
+from .train.metrics import dice_metric, hausdorff_distance_95, voxel_spacing_from_meta
 from .train.sliding_window import sliding_window_inference
 
 logger = logging.getLogger("factorizer_tpu")
@@ -118,8 +118,12 @@ def evaluate_bundle(
         dices.append(d)
         case = {"dice": [float(v) for v in np.nanmean(d, axis=0)]}
         if compute_hd95:
+            # HD95 in mm: the meta affine tracks the evaluation grid (1 mm
+            # after Spacingd; native geometry if evaluating post-Invertd).
+            metas = batch.get("image_meta")
+            spacing = voxel_spacing_from_meta(metas[0]) if metas else None
             hd = [
-                hausdorff_distance_95(preds[0, c], labels[0, c])
+                hausdorff_distance_95(preds[0, c], labels[0, c], spacing=spacing)
                 for c in range(preds.shape[1])
             ]
             hds.append(hd)

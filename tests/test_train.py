@@ -78,6 +78,52 @@ class TestMetrics:
         b = np.ones((8, 8), bool)
         assert np.isnan(hausdorff_distance_95(a, b))
 
+    def test_hd95_anisotropic_spacing(self):
+        # Two parallel planes z=4 and z=8: surface distance is 4 voxels
+        # along z.  With spacing (1, 1, 2.5) mm the metric must report
+        # 4 * 2.5 = 10 mm exactly (hand-computed anisotropic case).
+        a = np.zeros((4, 4, 12), bool)
+        b = np.zeros((4, 4, 12), bool)
+        a[:, :, 4] = True
+        b[:, :, 8] = True
+        assert hausdorff_distance_95(a, b) == pytest.approx(4.0)
+        assert hausdorff_distance_95(a, b, spacing=(1.0, 1.0, 2.5)) == pytest.approx(10.0)
+        # homogeneous 4x4 meta affines carry 3 entries even for 2-D masks:
+        # the leading ndim entries are used
+        a2, b2 = a[:, :, 4], b[:, :, 8]  # identical 2-D slices
+        assert hausdorff_distance_95(a2, b2, spacing=(2.0, 1.0, 99.0)) == 0.0
+
+    def test_voxel_spacing_from_meta(self):
+        from factorizer_tpu.train.metrics import voxel_spacing_from_meta
+
+        aff = np.diag([1.0, 1.0, 2.5, 1.0])
+        aff[:3, 3] = [10, -5, 3]  # translation must not affect spacing
+        sp = voxel_spacing_from_meta({"affine": aff})
+        assert sp == pytest.approx((1.0, 1.0, 2.5))
+        assert voxel_spacing_from_meta({"no_affine": 1}) is None
+        assert voxel_spacing_from_meta("not a dict") is None
+        # rotated affine: column norms still give the spacing
+        c, s = np.cos(0.3), np.sin(0.3)
+        rot = np.eye(4)
+        rot[:2, :2] = [[c, -s], [s, c]]
+        sp = voxel_spacing_from_meta({"affine": rot @ np.diag([2.0, 3.0, 1.0, 1.0])})
+        assert sp == pytest.approx((2.0, 3.0, 1.0))
+
+    def test_mean_hd_spacing_threading(self):
+        from factorizer_tpu.train.metrics import MeanHausdorffDistance
+
+        a = np.zeros((1, 1, 4, 4, 12), np.uint8)
+        b = np.zeros((1, 1, 4, 4, 12), np.uint8)
+        a[..., 4], b[..., 8] = 1, 1
+        hd = MeanHausdorffDistance()
+        hd.update(a, b, spacing=(1.0, 1.0, 2.5))
+        assert hd.compute() == pytest.approx(10.0)
+
+    def test_mean_dice_empty_per_channel(self):
+        md = MeanDice()
+        assert md.compute_per_channel().size == 0
+        assert np.isnan(md.compute())
+
 
 class TestSlidingWindow:
     def test_positions_cover_volume(self):
@@ -271,6 +317,8 @@ class TestCheckpoint:
         mgr.save(3, tree, metrics={"mean_dice": 0.7})
         mgr.wait()
         assert mgr.latest_step() == 2  # the best, not the last
+        assert mgr.best_saved_metric("mean_dice") == pytest.approx(0.9)
+        assert mgr.best_saved_metric("missing_key") is None
         mgr.close()
 
 
@@ -316,6 +364,49 @@ class TestResume:
             np.asarray(jax.tree.leaves(state2.params)[0]),
             np.asarray(jax.tree.leaves(state1.params)[0]),
         )
+        t2.ckpt.close()
+
+    def test_resume_restores_best_metric(self, tmp_path):
+        """A resumed trainer recovers its best-validation watermark from the
+        checkpoint metrics instead of resetting to -inf."""
+        import numpy as np
+
+        import factorizer_tpu as ftx
+        from factorizer_tpu.data import DataLoader, Dataset
+        from factorizer_tpu.train.loop import SegmentationTrainer
+
+        rng = np.random.default_rng(0)
+        data = [
+            {
+                "image": rng.random((2, 8, 8, 8), dtype=np.float32),
+                "label": (rng.random((1, 8, 8, 8)) > 0.5).astype(np.float32),
+            }
+            for _ in range(2)
+        ]
+        loader = DataLoader(Dataset(data), batch_size=2, num_workers=0)
+        model = ftx.Factorizer(
+            in_channels=2, out_channels=1, spatial_size=(8, 8, 8),
+            encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2),
+            decoder_depth=(1,),
+            reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4}),
+            rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+        )
+
+        t1 = SegmentationTrainer(
+            model, loader, val_loader=loader, max_epochs=1, val_interval=1,
+            roi_size=(8, 8, 8), ckpt_dir=str(tmp_path / "ck"),
+        )
+        t1.run()
+        best1 = t1.best_metric
+        assert np.isfinite(best1)
+        t1.ckpt.close()
+
+        t2 = SegmentationTrainer(
+            model, loader, val_loader=loader, max_epochs=1, val_interval=1,
+            roi_size=(8, 8, 8), ckpt_dir=str(tmp_path / "ck"),
+        )
+        t2.initialize()
+        assert t2.best_metric == pytest.approx(best1)
         t2.ckpt.close()
 
 
