@@ -535,6 +535,7 @@ class InstanceNorm(nn.Module):
     dim: int
     eps: float = 1e-5
     affine: bool = False
+    dtype: Any = None  # output/compute dtype; statistics stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -543,5 +544,6 @@ class InstanceNorm(nn.Module):
             epsilon=self.eps,
             use_scale=self.affine,
             use_bias=self.affine,
+            dtype=self.dtype,
             name="norm",
         )(x)

@@ -30,6 +30,7 @@ class DynUNetBlock(nn.Module):
     kernel_size: int | Sequence[int] = 3
     stride: int | Sequence[int] = 1
     act: Any = "leaky_relu"
+    dtype: Any = None  # compute dtype (bfloat16 under amp); params stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -38,12 +39,12 @@ class DynUNetBlock(nn.Module):
         ks = to_ntuple(self.kernel_size, p)
         pad = tuple(k // 2 for k in ks)
         out = Conv(self.in_channels, self.out_channels, kernel_size=ks,
-                   stride=self.stride, padding=pad, name="conv1")(x)
-        out = InstanceNorm(self.out_channels, affine=True, name="norm1")(out)
+                   stride=self.stride, padding=pad, dtype=self.dtype, name="conv1")(x)
+        out = InstanceNorm(self.out_channels, affine=True, dtype=self.dtype, name="norm1")(out)
         out = act(out)
         out = Conv(self.out_channels, self.out_channels, kernel_size=ks,
-                   stride=1, padding=pad, name="conv2")(out)
-        out = InstanceNorm(self.out_channels, affine=True, name="norm2")(out)
+                   stride=1, padding=pad, dtype=self.dtype, name="conv2")(out)
+        out = InstanceNorm(self.out_channels, affine=True, dtype=self.dtype, name="norm2")(out)
         return act(out)
 
 
@@ -68,6 +69,7 @@ class DynUNet(nn.Module):
     deep_supr_num: int = 1
     act: Any = "leaky_relu"
     data_format: str = "channels_first"
+    dtype: Any = None  # compute dtype (bfloat16 under amp); params stay float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False):
@@ -88,7 +90,7 @@ class DynUNet(nn.Module):
         for i in range(n):
             out = DynUNetBlock(
                 widths_in[i], filters[i], self.kernel_size[i], self.strides[i],
-                act=self.act, name=f"enc{i}",
+                act=self.act, dtype=self.dtype, name=f"enc{i}",
             )(out)
             skips.append(out)
 
@@ -97,16 +99,17 @@ class DynUNet(nn.Module):
         for i in range(n - 1, 0, -1):
             up = ConvTranspose(
                 out.shape[-1], filters[i - 1], kernel_size=self.strides[i],
-                stride=self.strides[i], name=f"up{i}",
+                stride=self.strides[i], dtype=self.dtype, name=f"up{i}",
             )(out)
             cat = jnp.concatenate([skips[i - 1], up], axis=-1)
             out = DynUNetBlock(
                 cat.shape[-1], filters[i - 1], self.kernel_size[i - 1], 1,
-                act=self.act, name=f"dec{i}",
+                act=self.act, dtype=self.dtype, name=f"dec{i}",
             )(cat)
             ys.append(out)
 
-        head = Conv(out.shape[-1], self.out_channels, kernel_size=1, name="head")(out)
+        head = Conv(out.shape[-1], self.out_channels, kernel_size=1, dtype=self.dtype,
+                    name="head")(out)
         if self.data_format == "channels_first":
             head = jnp.moveaxis(head, -1, 1)
 
@@ -115,7 +118,8 @@ class DynUNet(nn.Module):
             # coarser decoder outputs, finest-first after the main head
             for j in range(self.deep_supr_num):
                 y = ys[-2 - j]
-                h = Conv(y.shape[-1], self.out_channels, kernel_size=1, name=f"supr{j}")(y)
+                h = Conv(y.shape[-1], self.out_channels, kernel_size=1, dtype=self.dtype,
+                         name=f"supr{j}")(y)
                 if self.data_format == "channels_first":
                     h = jnp.moveaxis(h, -1, 1)
                 outs.append(h)

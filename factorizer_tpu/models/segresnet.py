@@ -34,16 +34,21 @@ class SegResBlock(nn.Module):
     channels: int
     norm_groups: int = 8
     act: Any = "relu"
+    dtype: Any = None  # compute dtype (bfloat16 under amp); params stay float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         act = resolve_activation(self.act)
-        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name="norm1")(x)
+        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                           dtype=self.dtype, name="norm1")(x)
         out = act(out)
-        out = Conv(self.channels, self.channels, kernel_size=3, padding=1, name="conv1")(out)
-        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name="norm2")(out)
+        out = Conv(self.channels, self.channels, kernel_size=3, padding=1,
+                   dtype=self.dtype, name="conv1")(out)
+        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                           dtype=self.dtype, name="norm2")(out)
         out = act(out)
-        out = Conv(self.channels, self.channels, kernel_size=3, padding=1, name="conv2")(out)
+        out = Conv(self.channels, self.channels, kernel_size=3, padding=1,
+                   dtype=self.dtype, name="conv2")(out)
         return out + x
 
 
@@ -65,6 +70,7 @@ class SegResNet(nn.Module):
     dropout: float = 0.0
     upsample_mode: str = "deconv"  # "deconv" (reference profiler) | "linear"
     data_format: str = "channels_first"
+    dtype: Any = None  # compute dtype (bfloat16 under amp); params stay float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -72,7 +78,8 @@ class SegResNet(nn.Module):
             x = jnp.moveaxis(x, 1, -1)
 
         f = self.init_filters
-        out = Conv(self.in_channels, f, kernel_size=3, padding=1, name="stem")(x)
+        out = Conv(self.in_channels, f, kernel_size=3, padding=1, dtype=self.dtype,
+                   name="stem")(x)
         if self.dropout:
             out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
 
@@ -81,30 +88,35 @@ class SegResNet(nn.Module):
             width = f * (2**level)
             if level > 0:
                 out = Conv(width // 2, width, kernel_size=3, stride=2, padding=1,
-                           name=f"down{level}")(out)
+                           dtype=self.dtype, name=f"down{level}")(out)
             for j in range(n_blocks):
-                out = SegResBlock(width, self.norm_groups, self.act, name=f"enc{level}_{j}")(out)
+                out = SegResBlock(width, self.norm_groups, self.act, dtype=self.dtype,
+                                  name=f"enc{level}_{j}")(out)
             skips.append(out)
 
         n_up = len(self.blocks_up)
         for i in range(n_up):
             level = len(self.blocks_down) - 1 - i
             width = f * (2 ** (level - 1))
-            out = Conv(out.shape[-1], width, kernel_size=1, name=f"reduce{i}")(out)
+            out = Conv(out.shape[-1], width, kernel_size=1, dtype=self.dtype,
+                       name=f"reduce{i}")(out)
             if self.upsample_mode == "deconv":
                 from ..layers.basic import ConvTranspose
 
                 out = ConvTranspose(width, width, kernel_size=2, stride=2,
-                                    name=f"up{i}")(out)
+                                    dtype=self.dtype, name=f"up{i}")(out)
             else:
                 out = _resize_linear(out, 2)
             out = out + skips[level - 1]
             for j in range(self.blocks_up[i]):
-                out = SegResBlock(width, self.norm_groups, self.act, name=f"dec{i}_{j}")(out)
+                out = SegResBlock(width, self.norm_groups, self.act, dtype=self.dtype,
+                                  name=f"dec{i}_{j}")(out)
 
-        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, name="final_norm")(out)
+        out = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                           dtype=self.dtype, name="final_norm")(out)
         out = resolve_activation(self.act)(out)
-        out = Conv(out.shape[-1], self.out_channels, kernel_size=1, name="head")(out)
+        out = Conv(out.shape[-1], self.out_channels, kernel_size=1, dtype=self.dtype,
+                   name="head")(out)
 
         if self.data_format == "channels_first":
             out = jnp.moveaxis(out, -1, 1)

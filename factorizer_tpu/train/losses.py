@@ -36,6 +36,11 @@ def dice_loss(
     Returns:
         Scalar mean Dice loss over batch and channels.
     """
+    # Loss math is pinned to f32 regardless of the network compute dtype
+    # (amp): reducing bf16 probabilities over 128^3 voxels loses the sum in
+    # the 8-bit mantissa.  Matches torch.autocast, which computes losses f32.
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     probs = jax.nn.sigmoid(logits) if sigmoid else logits
     if not include_background:
         probs = jnp.take(probs, jnp.arange(1, probs.shape[channel_axis]), axis=channel_axis)
@@ -56,6 +61,8 @@ def dice_loss(
 
 def bce_with_logits(logits: Array, targets: Array) -> Array:
     """Numerically stable binary cross-entropy with logits (mean reduction)."""
+    logits = logits.astype(jnp.float32)  # f32 loss math under amp (see dice_loss)
+    targets = targets.astype(jnp.float32)
     # log(1 + exp(-|x|)) + max(x, 0) - x*t
     loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.mean(loss)

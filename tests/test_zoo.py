@@ -28,6 +28,21 @@ def test_bundle_network_and_transforms_build(bundle):
 
 
 @pytest.mark.parametrize("bundle", BUNDLES)
+def test_bundle_amp_knob(bundle):
+    """`amp: true` is a one-line override switching the network to bfloat16
+    compute (reference train.yaml:34); default stays float32."""
+    import jax.numpy as jnp
+
+    cfg = load_config_files([ZOO / bundle / "configs" / "train.yaml"])
+    assert cfg["amp"] is False  # reference default
+    net = ConfigParser(cfg)["network_def"]
+    assert net.dtype is None
+
+    net_amp = ConfigParser({**cfg, "amp": True})["network_def"]
+    assert net_amp.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("bundle", BUNDLES)
 def test_bundle_overlays_parse(bundle):
     configs = ZOO / bundle / "configs"
     for overlay in ["train_multidevice.yaml", "evaluate.yaml", "inference_aot.yaml"]:
