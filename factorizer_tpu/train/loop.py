@@ -167,7 +167,42 @@ class SegmentationTrainer:
                 "resumed from checkpoint step %s (best mean_dice %s)",
                 int(self.state.step), saved_best,
             )
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-host: the freshly-initialized (or restored) state lives on
+            # each host's local device 0.  Place it replicated over the GLOBAL
+            # mesh so the sharded train step receives well-formed global
+            # arrays (every host holds the same values: same seed / same
+            # checkpoint).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self.state = jax.tree.map(
+                lambda a: jax.make_array_from_process_local_data(rep, np.asarray(a)),
+                self.state,
+            )
         return self.state
+
+    def _device_batch(self, batch: dict) -> dict:
+        """Host batch -> device batch (global array assembly on multi-host).
+
+        Each host's loader sees a disjoint datalist shard, so its batch is
+        the process-local block of a larger global batch.  Assemble that
+        global array explicitly: passing host-local arrays straight into the
+        sharded jit would treat them as replicated, and the data-axis
+        constraint would then select only 1/num_hosts of each host's rows —
+        silently training on half the loaded data (2-host case).
+        """
+        image = np.asarray(batch["image"])
+        label = np.asarray(batch["label"], np.float32)
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def glob(v):
+                sh = NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1))))
+                return jax.make_array_from_process_local_data(sh, v)
+
+            return {"image": glob(image), "label": glob(label)}
+        return {"image": jnp.asarray(image), "label": jnp.asarray(label)}
 
     def _log(self, tag: str, value: float, step: int) -> None:
         if self._tb is not None:
@@ -178,6 +213,12 @@ class SegmentationTrainer:
     def validate(self) -> dict:
         assert self.state is not None
         variables = self.state.variables()
+        if jax.process_count() > 1:
+            # Validation runs independently per host on its own val shard:
+            # fetch a host-local copy of the (replicated) weights so the
+            # sliding-window executables stay local and hosts never need to
+            # stay in jit lockstep across differing val-set sizes.
+            variables = jax.device_get(variables)
 
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
@@ -241,11 +282,9 @@ class SegmentationTrainer:
             losses = []
             for batch in self.train_loader:
                 rng, step_rng = jax.random.split(rng)
-                jbatch = {
-                    "image": jnp.asarray(batch["image"]),
-                    "label": jnp.asarray(batch["label"], jnp.float32),
-                }
-                state, metrics = self.train_step(state, jbatch, step_rng)
+                state, metrics = self.train_step(
+                    state, self._device_batch(batch), step_rng
+                )
                 losses.append(metrics["loss"])
             self.state = state
             epoch_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")

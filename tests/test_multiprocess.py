@@ -116,3 +116,165 @@ def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+_TRAINER_WORKER = r"""
+import json, os, sys
+
+# 2 virtual CPU devices per process -> 4 global devices over 2 procs.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.environ["FTX_REPO"])
+from factorizer_tpu.parallel.mesh import initialize_distributed
+
+rank = int(os.environ["FTX_RANK"])
+initialize_distributed(
+    coordinator_address=os.environ["FTX_COORD"],
+    num_processes=2,
+    process_id=rank,
+)
+assert jax.process_count() == 2, jax.process_count()
+
+import numpy as np
+from factorizer_tpu.config.bundle import run
+
+zoo = os.environ["FTX_ZOO"]
+out = os.environ["FTX_OUT"]
+configs = [
+    os.path.join(zoo, "factorizer_brats23/configs/train.yaml"),
+    os.path.join(zoo, "factorizer_brats23/configs/train_multidevice.yaml"),
+]
+overrides = {
+    "data_dir": os.path.join(out, "data"),
+    "datalist_path": os.path.join(out, "datalist.json"),
+    "roi_size": [16, 16, 16],
+    "batch_size": 2,          # per host -> global batch 4 over 4 devices
+    "max_epochs": 2,
+    "val_interval": 1,
+    "num_workers": 0,
+    "ckpt_dir": os.path.join(out, "ckpt"),
+    "output_dir": os.path.join(out, "out"),
+    "network_def#encoder_depth": [1, 1],
+    "network_def#encoder_width": [8, 16],
+    "network_def#strides": [1, 2],
+    "network_def#decoder_depth": [1],
+    "network_def#reshape": [
+        "$ftx.SWMatricize",
+        {"head_dim": 4, "patch_size": 4, "shifts": [None, 2]},
+    ],
+    "trainer#sw_batch_size": 2,
+    "trainer#compute_hd95": False,
+}
+
+# ---- leg 1: fresh 2-epoch run with validation every epoch
+parser = run(configs, run_id=[], **overrides)
+trainer = parser["trainer"]
+# per-host datalist sharding (partition_datalist): 4 train cases -> 2 each
+assert len(trainer.train_loader.dataset) == 2, len(trainer.train_loader.dataset)
+assert trainer.mesh is not None and trainer.mesh.devices.size == 4
+state = trainer.run()
+assert int(state.step) == 2, int(state.step)       # 2 epochs x 1 step
+hist1 = trainer.history
+assert "mean_dice" in hist1[-1]                     # allgathered val metrics
+best1 = trainer.best_metric
+trainer.ckpt.close()
+
+# ---- leg 2: resume on both hosts, 1 more epoch
+parser2 = run(configs, run_id=[], **{**overrides, "max_epochs": 3})
+trainer2 = parser2["trainer"]
+trainer2.initialize()
+assert int(trainer2.state.step) == 2                # resumed
+assert np.isfinite(trainer2.best_metric)            # watermark recovered
+state2 = trainer2.run()
+assert int(state2.step) == 3, int(state2.step)
+trainer2.ckpt.close()
+
+print(json.dumps({
+    "rank": rank,
+    "ok": True,
+    "mean_dice": float(hist1[-1]["mean_dice"]),
+    "loss": float(hist1[-1]["loss"]),
+    "best1": float(best1),
+    "resume_best": float(trainer2.best_metric),
+    "final_dice": float(trainer2.history[-1]["mean_dice"]),
+}))
+"""
+
+
+def test_two_process_trainer_end_to_end(tmp_path):
+    """SegmentationTrainer.run() across 2 real processes through the bundle
+    CLI with the train_multidevice.yaml overlay: per-host partition_datalist,
+    global-batch assembly, val-metric process_allgather, coordinated orbax
+    save, and resume on both hosts (exercises train/loop.py's multi-host
+    branches end-to-end; the reference's torchrun DDP contract,
+    model_zoo/factorizer_brats23/configs/train_multigpu.yaml:1-39)."""
+    import numpy as np
+
+    from factorizer_tpu.data.nifti import save_nifti
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "data"
+    items = []
+    folds = [0, 0, 1, 1, 1, 1]  # fold 0 -> 4 train (2/host) + 2 val
+    for i, fold in enumerate(folds):
+        case = data_dir / f"case{i}"
+        case.mkdir(parents=True)
+        img = rng.random((20, 20, 20)).astype(np.float32)
+        lbl = np.zeros((20, 20, 20), np.uint8)
+        lbl[6:14, 6:14, 6:14] = rng.integers(1, 4)
+        save_nifti(case / "img.nii.gz", img)
+        save_nifti(case / "seg.nii.gz", lbl)
+        items.append(
+            {
+                "id": f"case{i}",
+                "image": [f"case{i}/img.nii.gz"] * 4,
+                "label": f"case{i}/seg.nii.gz",
+                "fold": fold,
+            }
+        )
+    (tmp_path / "datalist.json").write_text(
+        json.dumps({"training": items, "test": []})
+    )
+
+    port = _free_port()
+    script = tmp_path / "trainer_worker.py"
+    script.write_text(_TRAINER_WORKER)
+
+    env_base = {
+        **os.environ,
+        "FTX_REPO": str(Path(__file__).resolve().parent.parent),
+        "FTX_ZOO": str(Path(__file__).resolve().parent.parent / "zoo"),
+        "FTX_COORD": f"localhost:{port}",
+        "FTX_OUT": str(tmp_path),
+    }
+    env_base.pop("XLA_FLAGS", None)  # worker pins its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "FTX_RANK": str(r)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert {o["rank"] for o in outs} == {0, 1}
+    assert all(o["ok"] for o in outs)
+    # allgathered validation metrics agree across hosts exactly
+    assert outs[0]["mean_dice"] == outs[1]["mean_dice"]
+    assert outs[0]["final_dice"] == outs[1]["final_dice"]
+    # resume recovered the best-metric watermark on both hosts
+    for o in outs:
+        assert o["resume_best"] >= o["best1"] or np.isclose(o["resume_best"], o["best1"])
+    # primary wrote history; exactly one history file
+    hist = (tmp_path / "out" / "history.jsonl").read_text().strip().splitlines()
+    assert len(hist) == 3  # 2 epochs + 1 resumed epoch
