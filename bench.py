@@ -103,8 +103,12 @@ def _forward_bytes(step_jit, variables, x) -> float:
         return float("nan")
 
 
-def _train_step_time(dtype) -> float:
-    """Full train step (fwd + DiceCE + bwd + AdamW), flagship, batch 2."""
+def _train_step_time(dtype) -> tuple:
+    """Full train step (fwd + DiceCE + bwd + AdamW), flagship, batch 2.
+
+    Returns ``(seconds_per_step, bytes_accessed)`` — the cost-analysis bytes
+    of the SAME compiled step that is timed, so the train-step roofline
+    fraction is derived from the executable users run."""
     import optax
 
     import factorizer_tpu as ftx
@@ -152,6 +156,14 @@ def _train_step_time(dtype) -> float:
 
     chain(1)  # compile
 
+    try:
+        cost = one_step.lower(state, jax.random.key(3)).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        step_bytes = float(cost.get("bytes accessed", float("nan")))
+    except Exception:
+        step_bytes = float("nan")
+
     def t(k):
         best = float("inf")
         for _ in range(2):
@@ -160,7 +172,7 @@ def _train_step_time(dtype) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (t(4) - t(1)) / 3
+    return (t(4) - t(1)) / 3, step_bytes
 
 
 def main() -> None:
@@ -195,13 +207,13 @@ def main() -> None:
     # The train-step measurement needs its own (cached) compile; skip it when
     # the forward phase already ran long (cold cache / contended host) so the
     # primary metric always lands within the driver's budget.
-    train_s = float("nan")
+    train_s = train_bytes = float("nan")
     if (
         os.environ.get("FTX_BENCH_TRAIN", "1") != "0"
         and time.perf_counter() - t_start < float(os.environ.get("FTX_BENCH_TRAIN_DEADLINE_S", 420))
     ):
         try:
-            train_s = _train_step_time(dtype)
+            train_s, train_bytes = _train_step_time(dtype)
         except Exception:
             pass
 
@@ -218,6 +230,14 @@ def main() -> None:
         "hbm_roofline_frac": round(roofline_frac, 3) if roofline_frac == roofline_frac else None,
         "train_step_s_b2": round(train_s, 4) if train_s == train_s else None,
         "train_vol_per_s": round(2.0 / train_s, 2) if train_s == train_s else None,
+        "bytes_per_train_step_gb": (
+            round(train_bytes / 1e9, 1) if train_bytes == train_bytes else None
+        ),
+        "train_hbm_roofline_frac": (
+            round((train_bytes / bw) / train_s, 3)
+            if train_bytes == train_bytes and train_s == train_s
+            else None
+        ),
         "a100_anchor_vol_per_s": round(A100_ANCHOR_VOL_PER_S, 2),
         "vs_a100": round(vs_a100, 2),
         "vs_a100_v5p_projected": round(v5p_projected / A100_ANCHOR_VOL_PER_S, 2),

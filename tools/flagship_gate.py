@@ -54,8 +54,16 @@ def measure() -> dict:
     t_hi = bench._time(step, x, 10)
     fwd_s = (t_hi - t_lo) / 8
 
-    train_s = bench._train_step_time(jnp.bfloat16)
-    return {"forward_s": fwd_s, "train_step_s_b2": train_s}
+    # the amp=false (f32) operating point: the stock-bundle default must not
+    # silently regress either (the bf16 row is what amp: true reaches)
+    model32 = _flagship(dtype=None)
+    variables32 = jax.jit(model32.init)(jax.random.key(0), x)
+    step32, _ = bench._make_step(model32, variables32)
+    bench._chained(step32, x, 2)
+    fwd32_s = (bench._time(step32, x, 10) - bench._time(step32, x, 2)) / 8
+
+    train_s, _ = bench._train_step_time(jnp.bfloat16)
+    return {"forward_s": fwd_s, "forward_f32_s": fwd32_s, "train_step_s_b2": train_s}
 
 
 def main() -> int:
@@ -74,6 +82,11 @@ def main() -> int:
 
     base = json.loads(BASELINE_PATH.read_text())
     ok = True
+    new_keys = {k: round(v, 4) for k, v in got.items() if k not in base}
+    if new_keys:
+        base.update(new_keys)
+        BASELINE_PATH.write_text(json.dumps(base, indent=2))
+        print(f"pinned new keys {sorted(new_keys)} into {BASELINE_PATH}")
     for key, value in got.items():
         ceiling = base[key] * TOLERANCE
         status = "ok" if value <= ceiling else "REGRESSION"
