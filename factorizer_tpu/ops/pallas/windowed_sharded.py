@@ -28,7 +28,7 @@ from .windowed_nmf_kernel import (
     EPS,
     _norm_shift,
     _pick_pack,
-    _pack_lanes,
+    _pack_lanes_xla,
     _pick_precision,
     _prep_inputs,
     _roll3_packed_xla,
@@ -70,7 +70,7 @@ def _local_forward(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps,
     c = x.shape[-1]
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
-    xp = _pack_lanes(_pad12_halo(x, p, axis_name), pack)
+    xp = _pad12_halo(_pack_lanes_xla(x, pack), p, axis_name)
 
     acc = None
     for shift in shifts:
@@ -96,8 +96,8 @@ def _local_backward(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
     c = x.shape[-1]
     pack = _pick_pack(c, x.shape[3] // p, x.shape[3])
     u0b, v0p, mask = _prep_inputs(u0, v0, p, head_dim, c, pack)
-    xp = _pack_lanes(_pad12_halo(x, p, axis_name), pack)
-    gp = _pack_lanes(_pad12_halo(g, p, axis_name), pack)
+    xp = _pad12_halo(_pack_lanes_xla(x, pack), p, axis_name)
+    gp = _pad12_halo(_pack_lanes_xla(g, pack), p, axis_name)
 
     dacc = None
     for shift in shifts:
