@@ -361,6 +361,33 @@ class SegmentationTrainer:
         return state
 
 
+# Stable per-model-config predictor closures.  The sliding-window runner
+# cache is keyed on predictor identity, so two Evaluators built around the
+# same model config (e.g. one evaluate_bundle call per epoch, or per k-fold
+# member with shared architecture) must hand it the SAME callable or every
+# call re-traces and re-loads the compiled executable.  Keyed by the flax
+# module repr (a full field dump, so equal configs share and different
+# configs never collide); weights stay traced arguments, so checkpoint swaps
+# reuse the executable.
+_PREDICTOR_CACHE: dict = {}
+_PREDICTOR_CACHE_MAX = 32
+
+
+def _shared_predictor(model):
+    key = (type(model).__module__, type(model).__qualname__, repr(model))
+    fns = _PREDICTOR_CACHE.get(key)
+    if fns is None:
+        def _apply(variables, windows):
+            out = model.apply(variables, windows)
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        fns = (jax.jit(_apply), lambda windows, variables: _apply(variables, windows))
+        if len(_PREDICTOR_CACHE) >= _PREDICTOR_CACHE_MAX:
+            _PREDICTOR_CACHE.pop(next(iter(_PREDICTOR_CACHE)))
+        _PREDICTOR_CACHE[key] = fns
+    return fns
+
+
 class Evaluator:
     """Sliding-window evaluation of one checkpointed model over a loader."""
 
@@ -382,12 +409,7 @@ class Evaluator:
         self.compute_hd95 = compute_hd95
         self.postprocess = postprocess
 
-        def _apply(variables, windows):
-            out = model.apply(variables, windows)
-            return out[0] if isinstance(out, (list, tuple)) else out
-
-        self._predict = jax.jit(_apply)
-        self._sw_predict = lambda windows, variables: _apply(variables, windows)
+        self._predict, self._sw_predict = _shared_predictor(model)
 
     def predict(self, images) -> jnp.ndarray:
         return sliding_window_inference(

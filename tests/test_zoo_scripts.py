@@ -185,3 +185,33 @@ def test_evaluate_loads_trainer_checkpoint_root(ckpt_and_data, tmp_path):
     a = jax.tree.leaves(v_root["params"])[0]
     b = jax.tree.leaves(v_step["params"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluator_predictor_shared_across_instances():
+    """Evaluators over the same model config must reuse one predictor
+    closure: the sliding-window runner cache keys on predictor identity,
+    so a fresh lambda per Evaluator re-traces (and re-loads) the compiled
+    sliding-window executable on every evaluate_bundle call (measured tens
+    of seconds per case at BraTS-native shapes)."""
+    from factorizer_tpu.train.loop import Evaluator, _shared_predictor
+
+    m1, m2 = _tiny_model(), _tiny_model()
+    assert _shared_predictor(m1)[1] is _shared_predictor(m2)[1]
+
+    other = ftx.Factorizer(
+        in_channels=1, out_channels=2, spatial_size=SP,
+        encoder_depth=(1, 1), encoder_width=(4, 8), strides=(1, 2),
+        decoder_depth=(1,),
+        reshape=(ftx.SWMatricize, {"head_dim": 2, "patch_size": 4, "shifts": [None, 2]}),
+        rank=1, num_iters=2, init_method="uniform", solver="hals", mlp_ratio=2,
+    )
+    assert _shared_predictor(other)[1] is not _shared_predictor(m1)[1]
+
+    x = np.zeros((1, 1, *SP), np.float32)
+    v = jax.jit(m1.init)(jax.random.key(0), x)
+    e1 = Evaluator(m1, v, roi_size=SP, sw_batch_size=1, compute_hd95=False)
+    e2 = Evaluator(m2, v, roi_size=SP, sw_batch_size=1, compute_hd95=False)
+    assert e1._sw_predict is e2._sw_predict
+    np.testing.assert_array_equal(
+        np.asarray(e1.predict(x)), np.asarray(e2.predict(x))
+    )
