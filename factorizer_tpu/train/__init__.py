@@ -6,6 +6,7 @@ from .sliding_window import (
     sliding_window_inference,
     sliding_window_positions,
     compute_importance_map,
+    SlidingWindowInfererAdapt,
 )
 from .loop import SegmentationTrainer, Evaluator, EnsembleEvaluator
 from .checkpoint import CheckpointManager, save_checkpoint, restore_checkpoint, load_checkpoints

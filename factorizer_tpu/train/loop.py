@@ -29,7 +29,7 @@ from .metrics import (
     voxel_spacing_from_meta,
 )
 from .schedules import make_adamw
-from .sliding_window import sliding_window_inference
+from .sliding_window import SlidingWindowInfererAdapt, sliding_window_inference
 from .trainer import TrainState, create_train_state, make_train_step
 
 logger = logging.getLogger("factorizer_tpu")
@@ -93,6 +93,11 @@ class SegmentationTrainer:
         self.seed = seed
         self.compute_hd95 = compute_hd95
         self.mesh = mesh
+        # Validation inferer with OOM degradation (reference train.yaml:206-212
+        # uses SlidingWindowInfererAdapt); sticky across validations.
+        self._inferer = SlidingWindowInfererAdapt(
+            self.roi_size, sw_batch_size=sw_batch_size, overlap=overlap
+        )
 
         steps_per_epoch = max(len(train_loader), 1)
         self.tx = make_adamw(
@@ -226,13 +231,8 @@ class SegmentationTrainer:
         for batch in self.val_loader:
             images = jnp.asarray(batch["image"])
             labels = np.asarray(batch["label"])
-            logits = sliding_window_inference(
-                images,
-                self.roi_size,
-                self._sw_predict,
-                sw_batch_size=self.sw_batch_size,
-                overlap=self.overlap,
-                predictor_args=(variables,),
+            logits = self._inferer(
+                images, self._sw_predict, predictor_args=(variables,)
             )
             preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
             dice.update(jnp.asarray(preds), jnp.asarray(labels))
@@ -410,15 +410,13 @@ class Evaluator:
         self.postprocess = postprocess
 
         self._predict, self._sw_predict = _shared_predictor(model)
+        self._inferer = SlidingWindowInfererAdapt(
+            self.roi_size, sw_batch_size=sw_batch_size, overlap=overlap
+        )
 
     def predict(self, images) -> jnp.ndarray:
-        return sliding_window_inference(
-            jnp.asarray(images),
-            self.roi_size,
-            self._sw_predict,
-            sw_batch_size=self.sw_batch_size,
-            overlap=self.overlap,
-            predictor_args=(self.variables,),
+        return self._inferer(
+            jnp.asarray(images), self._sw_predict, predictor_args=(self.variables,)
         )
 
     def run(self, loader, save_case_metrics: Optional[str] = None) -> dict:

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-__all__ = ["compute_importance_map", "sliding_window_positions", "sliding_window_inference"]
+__all__ = [
+    "compute_importance_map",
+    "sliding_window_positions",
+    "sliding_window_inference",
+    "SlidingWindowInfererAdapt",
+]
 
 
 def compute_importance_map(
@@ -184,6 +189,7 @@ def sliding_window_inference(
     pad_value: float = 0.0,
     predictor_args: Sequence[Any] = (),
     host_loop: bool = False,
+    stitch_on_host: bool = False,
 ) -> Array:
     """Run ``predictor`` over overlapping windows and blend the results.
 
@@ -202,6 +208,11 @@ def sliding_window_inference(
             ``lax.scan`` executable.  Required when ``predictor`` is an
             AOT-compiled executable (it cannot be traced); gather and
             blend-accumulate still run as compiled device functions.
+        stitch_on_host: accumulate the blended output in host (numpy)
+            buffers — only the padded input and one window batch live on the
+            device.  The low-memory rung of the adaptive ladder
+            (:class:`SlidingWindowInfererAdapt`); device memory drops from
+            2 full volumes (f32 out_sum + weight_sum) to one window group.
 
     Returns:
         ``(B, C_out, *S)`` blended predictions.
@@ -232,7 +243,28 @@ def sliding_window_inference(
     groups = jnp.asarray(jobs.reshape(n_groups, sw_batch_size, 1 + p))
     gvalid = jnp.asarray(valid.reshape(n_groups, sw_batch_size))
 
-    if host_loop:
+    if stitch_on_host:
+        imp_np = np.asarray(compute_importance_map(roi, mode=mode))
+        jobs_np = jobs.reshape(n_groups, sw_batch_size, 1 + p)
+        valid_np = valid.reshape(n_groups, sw_batch_size)
+        out_sum_h = weight_sum_h = None
+        for g in range(n_groups):
+            windows = _gather_group_jit(padded, groups[g], roi)
+            preds = np.asarray(predictor(windows, *predictor_args), np.float32)
+            if out_sum_h is None:
+                out_sum_h = np.zeros((batch, preds.shape[1], *pspatial), np.float32)
+                weight_sum_h = np.zeros((batch, 1, *pspatial), np.float32)
+            for j in range(sw_batch_size):
+                if valid_np[g, j] == 0.0:
+                    continue
+                b0 = int(jobs_np[g, j, 0])
+                win = tuple(
+                    slice(int(s), int(s) + r) for s, r in zip(jobs_np[g, j, 1:], roi)
+                )
+                out_sum_h[(b0, slice(None), *win)] += preds[j] * imp_np
+                weight_sum_h[(b0, slice(None), *win)] += imp_np
+        result = jnp.asarray(out_sum_h / np.maximum(weight_sum_h, 1e-8))
+    elif host_loop:
         out_sum = weight_sum = None
         for g in range(n_groups):
             windows = _gather_group_jit(padded, groups[g], roi)
@@ -253,3 +285,90 @@ def sliding_window_inference(
     # Crop padding back off.
     slices = (slice(None), slice(None)) + tuple(slice(0, s) for s in spatial)
     return result[slices]
+
+
+def _is_oom_error(err: BaseException) -> bool:
+    msg = str(err)
+    return any(
+        s in msg
+        for s in (
+            "RESOURCE_EXHAUSTED",
+            "Out of memory",
+            "out of memory",
+            "OOM",
+            "Attempting to allocate",
+            "tpu_compile_helper",  # axon tunnel surfaces compile-time HBM OOM this way
+        )
+    )
+
+
+class SlidingWindowInfererAdapt:
+    """Sliding-window inference that degrades gracefully on device OOM.
+
+    TPU-native analogue of MONAI's ``SlidingWindowInfererAdapt`` (the
+    reference's validation inferer, model_zoo/factorizer_brats23/configs/
+    train.yaml:206-212): on an out-of-memory failure it steps down a ladder
+    and retries —
+
+    1. fused device executable (one ``lax.scan``, full volume resident);
+    2. host-stitched accumulation (only one window group on device);
+    3. host-stitched with ``sw_batch_size`` halved, repeatedly, down to 1.
+
+    The chosen rung is sticky across calls (like MONAI's cached CPU/GPU
+    decision) so a long evaluation sweep pays the failed attempts once.
+    Non-OOM errors propagate unchanged.
+    """
+
+    def __init__(
+        self,
+        roi_size: Sequence[int],
+        sw_batch_size: int = 4,
+        overlap: float = 0.5,
+        mode: str = "gaussian",
+    ) -> None:
+        self.roi_size = tuple(roi_size)
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.mode = mode
+        self._stitch_on_host = False
+        self._sw_batch = sw_batch_size
+
+    def __call__(
+        self,
+        inputs: Array,
+        predictor: Callable[..., Array],
+        predictor_args: Sequence[Any] = (),
+        **kw,
+    ) -> Array:
+        import warnings
+
+        while True:
+            try:
+                return sliding_window_inference(
+                    inputs,
+                    self.roi_size,
+                    predictor,
+                    sw_batch_size=self._sw_batch,
+                    overlap=self.overlap,
+                    mode=self.mode,
+                    predictor_args=predictor_args,
+                    stitch_on_host=self._stitch_on_host,
+                    **kw,
+                )
+            except Exception as err:  # noqa: BLE001 - filtered to OOM below
+                if not _is_oom_error(err):
+                    raise
+                if not self._stitch_on_host:
+                    self._stitch_on_host = True
+                    warnings.warn(
+                        "sliding-window inference hit device OOM; retrying "
+                        "with host-stitched accumulation"
+                    )
+                elif self._sw_batch > 1:
+                    self._sw_batch = max(1, self._sw_batch // 2)
+                    warnings.warn(
+                        "sliding-window inference hit device OOM; retrying "
+                        f"with sw_batch_size={self._sw_batch}"
+                    )
+                else:
+                    raise

@@ -146,6 +146,56 @@ class TestSlidingWindow:
         assert out.shape == (1, 2, 6, 6)
         np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), atol=1e-5)
 
+    def test_host_stitch_matches_fused(self):
+        """The low-memory host-stitched path blends identically."""
+        x = jax.random.uniform(jax.random.key(3), (2, 2, 20, 14))
+        pred = lambda w: jnp.tanh(w[:, :1] + w[:, 1:])  # noqa: E731
+        fused = sliding_window_inference(x, (8, 8), pred, sw_batch_size=3, overlap=0.5)
+        host = sliding_window_inference(
+            x, (8, 8), pred, sw_batch_size=3, overlap=0.5, stitch_on_host=True
+        )
+        np.testing.assert_allclose(np.asarray(host), np.asarray(fused), atol=1e-5)
+
+    def test_adaptive_inferer_degrades_on_oom(self, monkeypatch):
+        """OOM on the fused path falls back to host stitching, then halves
+        the window batch; the decision sticks across calls."""
+        from factorizer_tpu.train import sliding_window as sw
+
+        x = jax.random.uniform(jax.random.key(4), (1, 2, 20, 20))
+        pred = lambda w: w  # noqa: E731
+        expected = sliding_window_inference(x, (8, 8), pred, sw_batch_size=4)
+
+        calls = []
+        real = sw.sliding_window_inference
+
+        def fake(inputs, roi, predictor, **kw):
+            calls.append((kw.get("stitch_on_host", False), kw["sw_batch_size"]))
+            if not kw.get("stitch_on_host"):
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory while ...")
+            if kw["sw_batch_size"] > 2:
+                raise RuntimeError("Attempting to allocate 9.99G ...")
+            return real(inputs, roi, predictor, **kw)
+
+        monkeypatch.setattr(sw, "sliding_window_inference", fake)
+        inf = sw.SlidingWindowInfererAdapt((8, 8), sw_batch_size=4, overlap=0.5)
+        with pytest.warns(UserWarning):
+            out = inf(x, pred)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+        assert calls == [(False, 4), (True, 4), (True, 2)]
+        calls.clear()
+        inf(x, pred)  # the degraded rung is sticky: one call, no retries
+        assert calls == [(True, 2)]
+
+    def test_adaptive_inferer_reraises_non_oom(self):
+        from factorizer_tpu.train import sliding_window as sw
+
+        def bad_pred(w):
+            raise ValueError("shape mismatch")
+
+        inf = sw.SlidingWindowInfererAdapt((8, 8), sw_batch_size=2)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            inf(jnp.zeros((1, 2, 8, 8)), bad_pred)
+
 
 class TestTrainStep:
     def _tiny_model(self):

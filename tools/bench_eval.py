@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Native-geometry evaluation benchmark (VERDICT round 3, item 6).
+
+Times the inference hot loop a BraTS user actually runs (the analogue of the
+reference's inference program, reference
+model_zoo/factorizer_brats23/configs/inference.yaml:96-102): one synthetic
+240x240x155 native-shaped case through ``zoo_scripts.evaluate_bundle`` —
+preprocessing (crop/orient/normalize/pad), checkpoint restore, sliding-window
+inference (roi 128^3, overlap 0.5, gaussian), threshold, ``Invertd`` back to
+native geometry, NIfTI save, per-case metrics.
+
+Prints one JSON line with the end-to-end seconds/case plus a phase
+breakdown (preprocess / sliding-window / invert+save), so regressions are
+attributable.  Appends the result under ``"eval_native"`` in profiler.json
+when --update is passed.
+
+Usage:
+    python tools/bench_eval.py [--cases 3] [--dtype bfloat16] [--update]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from factorizer_tpu.utils.jax_cache import configure_compile_cache
+
+configure_compile_cache()
+
+NATIVE = (240, 240, 155)
+ROI = (128, 128, 128)
+
+
+def _flagship_brats(dtype):
+    import factorizer_tpu as ftx
+
+    return ftx.Factorizer(
+        in_channels=4, out_channels=3, spatial_size=ROI,
+        encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+        strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+        reshape=(ftx.SWMatricize, {"head_dim": 8, "patch_size": 8, "shifts": [None, 2, 4, 6]}),
+        rank=1, num_iters=5, init_method="uniform", solver="hals",
+        mlp_ratio=4, dtype=dtype,
+    )
+
+
+def _make_case(tmp: Path, rng) -> dict:
+    """A synthetic BraTS-native case: 4 modalities + brain-shaped foreground."""
+    from factorizer_tpu.data.nifti import save_nifti
+
+    img = np.zeros((4, *NATIVE), np.float32)
+    img[:, 20:220, 25:215, 10:145] = (
+        rng.random((4, 200, 190, 135), dtype=np.float32) + 0.05
+    )
+    img[:, 90:150, 100:160, 60:100] += 1.0  # tumor-ish structure
+    lbl = np.zeros(NATIVE, np.uint8)
+    lbl[95:145, 105:155, 65:95] = 1
+
+    case = tmp / "case"
+    case.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for c in range(4):
+        p = case / f"mod{c}.nii.gz"
+        save_nifti(p, img[c])
+        paths.append(str(p))
+    lp = case / "seg.nii.gz"
+    save_nifti(lp, lbl)
+    return {"id": "case", "image": paths, "label": str(lp)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--update", action="store_true", help="record in profiler.json")
+    args = ap.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
+    from factorizer_tpu.data import DataLoader, Dataset
+    from factorizer_tpu.data import transforms as T
+    from factorizer_tpu.train.checkpoint import save_checkpoint
+    from factorizer_tpu.zoo_scripts import evaluate_bundle
+
+    tmp = Path(tempfile.mkdtemp(prefix="ftx_bench_eval"))
+    rng = np.random.default_rng(0)
+    item = _make_case(tmp, rng)
+
+    model = _flagship_brats(dtype)
+    x = jnp.zeros((1, 4, *ROI), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    save_checkpoint(tmp / "ckpt", {"params": variables["params"],
+                                   "buffers": variables.get("buffers", {})})
+
+    # the bundle's evaluate-time deterministic chain (evaluate.yaml semantics)
+    pre = T.Compose([
+        T.LoadImaged(["image", "label"], ensure_channel_first=True),
+        T.CropForegroundd(["image", "label"], source_key="image", margin=10),
+        T.Orientationd(["image", "label"], axcodes="RAS"),
+        T.NormalizeIntensityd(["image"], nonzero=True, channel_wise=True),
+        T.Spacingd(["image", "label"], pixdim=(1.0, 1.0, 1.0), mode=["bilinear", "nearest"]),
+        T.SpatialPadd(["image", "label"], spatial_size=ROI),
+    ])
+
+    # phase 1: preprocessing (host)
+    t0 = time.perf_counter()
+    sample = pre(dict(item))
+    t_pre = time.perf_counter() - t0
+
+    loader = DataLoader(Dataset([item], pre), batch_size=1, num_workers=0)
+
+    # warm-up run compiles the sliding-window executable for this shape
+    out_dir = tmp / "preds"
+    evaluate_bundle(model, tmp / "ckpt", loader, roi_size=ROI,
+                    output_dir=str(out_dir), sw_batch_size=2, overlap=0.5,
+                    compute_hd95=False)
+
+    # timed end-to-end runs (load + preprocess + SW + invert + save + metrics)
+    times = []
+    for _ in range(args.cases):
+        t0 = time.perf_counter()
+        evaluate_bundle(model, tmp / "ckpt", loader, roi_size=ROI,
+                        output_dir=str(out_dir), sw_batch_size=2, overlap=0.5,
+                        compute_hd95=False)
+        times.append(time.perf_counter() - t0)
+
+    # phase 2: sliding-window alone on the preprocessed volume (device)
+    from factorizer_tpu.train.loop import Evaluator
+    from factorizer_tpu.zoo_scripts import load_model_checkpoint
+
+    restored = load_model_checkpoint(model, tmp / "ckpt", ROI)
+    ev = Evaluator(model, restored, roi_size=ROI, sw_batch_size=2, overlap=0.5,
+                   compute_hd95=False)
+    img = jnp.asarray(sample["image"])[None]
+    np.asarray(ev.predict(img))  # compile for this shape
+    t0 = time.perf_counter()
+    np.asarray(ev.predict(img))
+    t_sw = time.perf_counter() - t0
+
+    # phase 3: invert + save alone
+    probs = np.zeros((3, *sample["image"].shape[1:]), np.float32)
+    d = dict(sample)
+    d["pred"] = (probs > 0.5).astype(np.uint8)
+    t0 = time.perf_counter()
+    d = T.Invertd(["pred"], orig_keys="image")(d)
+    T.SaveImaged(["pred"], output_dir=str(out_dir))(d)
+    t_inv = time.perf_counter() - t0
+
+    out = {
+        "metric": "brats_native_eval_seconds_per_case",
+        "value": round(float(np.median(times)), 3),
+        "unit": "s/case",
+        "dtype": args.dtype,
+        "native_shape": list(NATIVE),
+        "roi": list(ROI),
+        "phase_preprocess_s": round(t_pre, 3),
+        "phase_sliding_window_s": round(t_sw, 3),
+        "phase_invert_save_s": round(t_inv, 3),
+        "runs": [round(t, 3) for t in times],
+    }
+    print(json.dumps(out))
+
+    if args.update:
+        prof_path = _REPO / "profiler.json"
+        prof = json.loads(prof_path.read_text()) if prof_path.exists() else {}
+        prof["eval_native"] = out
+        prof_path.write_text(json.dumps(prof, indent=1))
+        print(f"recorded under 'eval_native' in {prof_path}")
+
+
+if __name__ == "__main__":
+    main()
