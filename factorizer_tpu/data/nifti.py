@@ -175,8 +175,18 @@ def load_nifti(path: str | Path, dtype: Optional[np.dtype] = None) -> NiftiImage
     return NiftiImage(data=data, affine=affine, header=hdr)
 
 
-def save_nifti(path: str | Path, data: np.ndarray, affine: Optional[np.ndarray] = None) -> None:
-    """Write a .nii / .nii.gz volume (sform affine, float32/int types)."""
+def save_nifti(
+    path: str | Path,
+    data: np.ndarray,
+    affine: Optional[np.ndarray] = None,
+    compresslevel: int = 1,
+) -> None:
+    """Write a .nii / .nii.gz volume (sform affine, float32/int types).
+
+    ``compresslevel`` defaults to 1 (nibabel's default): Python's gzip
+    default of 9 is ~30x slower on poorly-compressible volumes for a few
+    percent of size.
+    """
     path = Path(path)
     data = np.asarray(data)
     if data.dtype == np.bool_:
@@ -208,6 +218,9 @@ def save_nifti(path: str | Path, data: np.ndarray, affine: Optional[np.ndarray] 
     hdr[344:348] = b"n+1\x00"
 
     payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
-    opener = gzip.open if path.name.endswith(".gz") else open
-    with opener(path, "wb") as f:
-        f.write(payload)
+    if path.name.endswith(".gz"):
+        with gzip.open(path, "wb", compresslevel=compresslevel) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)

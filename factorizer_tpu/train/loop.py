@@ -234,8 +234,8 @@ class SegmentationTrainer:
             logits = self._inferer(
                 images, self._sw_predict, predictor_args=(variables,)
             )
-            preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
-            dice.update(jnp.asarray(preds), jnp.asarray(labels))
+            preds = np.asarray(_threshold_mask(logits))
+            dice.update(preds, labels)
             if hd is not None:
                 metas = batch.get("image_meta")
                 hd.update(
@@ -373,6 +373,16 @@ _PREDICTOR_CACHE: dict = {}
 _PREDICTOR_CACHE_MAX = 32
 
 
+@jax.jit
+def _threshold_mask(logits):
+    """Binarize logits on the device: sigmoid(x) > 0.5 is exactly x > 0.
+
+    Fetching the uint8 mask moves 4x fewer bytes host-ward than fetching
+    float32 probabilities — the dominant cost per case over a TPU tunnel.
+    """
+    return (logits > 0).astype(jnp.uint8)
+
+
 def _shared_predictor(model):
     key = (type(model).__module__, type(model).__qualname__, repr(model))
     fns = _PREDICTOR_CACHE.get(key)
@@ -419,24 +429,25 @@ class Evaluator:
             jnp.asarray(images), self._sw_predict, predictor_args=(self.variables,)
         )
 
+    def predict_mask(self, images) -> np.ndarray:
+        """Sliding-window inference binarized on the device (uint8 fetch)."""
+        return np.asarray(_threshold_mask(self.predict(images)))
+
     def run(self, loader, save_case_metrics: Optional[str] = None) -> dict:
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
         cases = []
         for batch in loader:
-            logits = self.predict(batch["image"])
-            preds = np.asarray(jax.nn.sigmoid(logits) > 0.5).astype(np.uint8)
+            preds = self.predict_mask(batch["image"])
             labels = np.asarray(batch["label"])
-            dice.update(jnp.asarray(preds), jnp.asarray(labels))
+            dice.update(preds, labels)
             if hd is not None:
                 metas = batch.get("image_meta")
                 hd.update(
                     preds, labels,
                     spacing=voxel_spacing_from_meta(metas[0]) if metas else None,
                 )
-            case_dice = np.nanmean(
-                np.asarray(dice_metric(jnp.asarray(preds), jnp.asarray(labels)))
-            )
+            case_dice = np.nanmean(np.asarray(dice_metric(preds, labels)))
             cases.append({"id": batch.get("id", [None])[0], "dice": float(case_dice)})
         out = {"mean_dice": dice.compute()}
         if hd is not None:

@@ -71,21 +71,25 @@ def dice_metric(
     Returns:
         ``(B, C)`` Dice scores.
     """
+    # Host masks stay on the host: uploading two full volumes to the device
+    # just to sum them costs seconds over a TPU tunnel.  The same expression
+    # graph runs under either namespace.
+    xp = np if isinstance(pred, np.ndarray) and isinstance(target, np.ndarray) else jnp
     if not include_background:
-        pred = jnp.take(pred, jnp.arange(1, pred.shape[channel_axis]), axis=channel_axis)
-        target = jnp.take(target, jnp.arange(1, target.shape[channel_axis]), axis=channel_axis)
+        pred = xp.take(pred, xp.arange(1, pred.shape[channel_axis]), axis=channel_axis)
+        target = xp.take(target, xp.arange(1, target.shape[channel_axis]), axis=channel_axis)
 
     axes = tuple(range(2, pred.ndim))
-    intersection = jnp.sum(pred * target, axis=axes)
-    pred_o = jnp.sum(pred, axis=axes)
-    target_o = jnp.sum(target, axis=axes)
+    intersection = xp.sum(pred * target, axis=axes, dtype=xp.float64 if xp is np else None)
+    pred_o = xp.sum(pred, axis=axes, dtype=xp.float64 if xp is np else None)
+    target_o = xp.sum(target, axis=axes, dtype=xp.float64 if xp is np else None)
     denom = pred_o + target_o
-    dice = (2.0 * intersection) / jnp.maximum(denom, 1e-12)
+    dice = (2.0 * intersection) / xp.maximum(denom, 1e-12)
     if ignore_empty:
-        dice = jnp.where(target_o > 0, dice, jnp.nan)
+        dice = xp.where(target_o > 0, dice, xp.nan)
     else:
-        empty_gt_score = jnp.where(pred_o > 0, 0.0, 1.0)
-        dice = jnp.where(target_o > 0, dice, empty_gt_score)
+        empty_gt_score = xp.where(pred_o > 0, 0.0, 1.0)
+        dice = xp.where(target_o > 0, dice, empty_gt_score)
     return dice
 
 

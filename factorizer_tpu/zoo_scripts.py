@@ -109,12 +109,10 @@ def evaluate_bundle(
 
     cases, dices, hds = [], [], []
     for batch in val_loader:
-        logits = evaluator.predict(batch["image"])
-        probs = np.asarray(jax.nn.sigmoid(logits))
-        preds = (probs > 0.5).astype(np.uint8)
+        preds = evaluator.predict_mask(batch["image"])
         labels = np.asarray(batch["label"])
 
-        d = np.asarray(dice_metric(jnp.asarray(preds), jnp.asarray(labels)))
+        d = np.asarray(dice_metric(preds, labels))
         dices.append(d)
         case = {"dice": [float(v) for v in np.nanmean(d, axis=0)]}
         if compute_hd95:
