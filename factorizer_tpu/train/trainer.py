@@ -15,22 +15,39 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..parallel.sharding import param_sharding_rules
 from .losses import deep_supervision_loss, dice_ce_loss
 
-__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "init_opt_state",
+    "make_train_step",
+    "make_eval_step",
+]
 
 
 class TrainState(struct.PyTreeNode):
-    """Functional train state: params + non-trainable buffers + optimizer."""
+    """Functional train state: params + non-trainable buffers + optimizer.
+
+    ``flat_opt=True`` runs the optimizer over one raveled parameter vector
+    instead of per-leaf: AdamW is elementwise, so the math is bitwise
+    identical, but the ~100 tiny per-leaf update fusions (LayerNorm scales,
+    biases, small projections) collapse into a handful of large vector ops —
+    each tiny op costs a fixed ~7 us on the TPU's serial pipeline, ~10 ms/step
+    on the flagship (see PERFORMANCE.md round 4).  ``opt_state`` is then keyed
+    to the flat vector, so checkpoints are mode-specific.  Keep ``False`` when
+    params are sharded over a model axis (the ravel would all-gather them)."""
 
     step: jnp.ndarray
     params: Any
     buffers: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    flat_opt: bool = struct.field(pytree_node=False, default=False)
 
     def variables(self) -> dict:
         v = {"params": self.params}
@@ -39,9 +56,22 @@ class TrainState(struct.PyTreeNode):
         return v
 
     def apply_gradients(self, grads: Any) -> "TrainState":
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        if self.flat_opt:
+            g_flat, _ = ravel_pytree(grads)
+            p_flat, unravel = ravel_pytree(self.params)
+            updates, new_opt_state = self.tx.update(g_flat, self.opt_state, p_flat)
+            new_params = unravel(p_flat + updates)
+        else:
+            updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+def init_opt_state(tx: optax.GradientTransformation, params: Any, flat: bool = False):
+    """Optimizer-state init matching ``TrainState.flat_opt`` (see above)."""
+    if flat:
+        return tx.init(ravel_pytree(params)[0])
+    return tx.init(params)
 
 
 def create_train_state(
@@ -50,6 +80,7 @@ def create_train_state(
     sample_input: jnp.ndarray,
     rng: jax.Array,
     train_kwargs: Optional[dict] = None,
+    flat_optimizer: bool = True,
 ) -> TrainState:
     kwargs = dict(train_kwargs or {})
     variables = jax.jit(lambda rng, x: model.init(rng, x, **kwargs))(rng, sample_input)
@@ -59,8 +90,9 @@ def create_train_state(
         step=jnp.zeros((), jnp.int32),
         params=params,
         buffers=buffers,
-        opt_state=tx.init(params),
+        opt_state=init_opt_state(tx, params, flat_optimizer),
         tx=tx,
+        flat_opt=flat_optimizer,
     )
 
 
@@ -146,7 +178,13 @@ def make_train_step(
             loss, grads = grad_one(state.params, state.buffers, images, labels, rng)
 
         new_state = state.apply_gradients(grads)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if state.flat_opt:
+            # Same ravel as apply_gradients (CSE'd by XLA): one big reduce
+            # instead of ~100 per-leaf square-sums.
+            grad_norm = jnp.linalg.norm(ravel_pytree(grads)[0])
+        else:
+            grad_norm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": grad_norm}
         return new_state, metrics
 
     if mesh is not None:

@@ -230,6 +230,41 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert int(state.step) == 8
 
+    def test_flat_optimizer_matches_per_leaf(self):
+        """flat_opt=True (single raveled AdamW vector, the default) must match
+        the per-leaf optimizer: AdamW is elementwise, so the only divergence
+        allowed is XLA fusion-level rounding (~1 ulp)."""
+        from factorizer_tpu.train.trainer import TrainState, init_opt_state
+
+        model = self._tiny_model()
+        x = jax.random.uniform(jax.random.key(0), (2, 2, 8, 8, 8))
+        y = (jax.random.uniform(jax.random.key(1), (2, 1, 8, 8, 8)) > 0.5).astype(jnp.float32)
+        variables = model.init(jax.random.key(2), x, train=False)
+        tx = make_adamw(lr=1e-2)
+
+        def mk(flat):
+            return TrainState(
+                step=jnp.zeros((), jnp.int32), params=variables["params"],
+                buffers=variables.get("buffers", {}),
+                opt_state=init_opt_state(tx, variables["params"], flat),
+                tx=tx, flat_opt=flat,
+            )
+
+        step = make_train_step(model, donate=False)
+        s_flat, s_leaf = mk(True), mk(False)
+        for i in range(3):
+            rng = jax.random.key(10 + i)
+            s_flat, m_flat = step(s_flat, {"image": x, "label": y}, rng)
+            s_leaf, m_leaf = step(s_leaf, {"image": x, "label": y}, rng)
+        assert float(m_flat["loss"]) == pytest.approx(float(m_leaf["loss"]), abs=1e-6)
+        assert float(m_flat["grad_norm"]) == pytest.approx(
+            float(m_leaf["grad_norm"]), rel=1e-5
+        )
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), s_flat.params, s_leaf.params
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-6
+
     def test_data_parallel_mesh_step(self):
         """DP over the virtual multi-device mesh produces finite loss."""
         from factorizer_tpu.parallel.mesh import make_mesh

@@ -36,7 +36,7 @@ def main() -> None:
 
     import factorizer_tpu as ftx
     from factorizer_tpu.train.losses import dice_ce_loss
-    from factorizer_tpu.train.trainer import TrainState
+    from factorizer_tpu.train.trainer import TrainState, init_opt_state
 
     sp = (args.spatial,) * 3
     model = ftx.Factorizer(
@@ -64,8 +64,9 @@ def main() -> None:
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         buffers=variables.get("buffers", {}),
-        opt_state=tx.init(variables["params"]),
+        opt_state=init_opt_state(tx, variables["params"], flat=True),
         tx=tx,
+        flat_opt=True,
     )
 
     def one_step(state, rng):
