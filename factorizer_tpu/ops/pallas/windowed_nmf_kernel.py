@@ -190,8 +190,9 @@ def _roll3_packed_xla(t: Array, r: int, pack: int, c: int) -> Array:
     lane-packed view ``(..., S3/pack, pack*C)`` (see ``_pack_lanes``): a
     within-chunk sublane roll plus lane-group rolls with a chunk-boundary
     select — the XLA-side mirror of the in-kernel ``_roll_packed3``.
-    Lets the shift-averaging accumulate in the packed layout so the
-    Mosaic-boundary unpack relayout happens once per call, not per shift.
+    Since round 4 the shift kernels unroll dim 3 on-chip before the write,
+    so this is no longer on the hot path; it is kept as the property-tested
+    reference for the in-kernel roll (tests/test_pallas.py).
     """
     if pack == 1:
         return jnp.roll(t, r, axis=-2)
@@ -385,9 +386,13 @@ def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
     T(8,128) operand layout) — from the wrap-padded volume at element offset
     ``i*p + p - s`` in dims 1/2, so only the cyclic dim-3 shift remains; it
     is applied on-chip in the packed view (``_roll_packed3``) so ``jnp.roll``
-    never materializes in HBM.  The output block is written in
-    dims-1/2-rolled coordinates (the caller rolls those back; XLA fuses that
-    into the shift-averaging add).
+    never materializes in HBM.  The dim-3 roll is also UNDONE on-chip before
+    the write (the full S3 extent lives in-block, so the inverse roll is a
+    couple of VPU passes over VMEM), leaving only the dims-1/2 roll-back to
+    the caller — that one genuinely crosses block rows and stays in XLA,
+    fused into the shift-averaging add.  Removing the XLA-side packed dim-3
+    roll (two full-volume slice/select passes per shift) measured
+    244.6 -> ~237 ms on the flagship train step (round 4).
     """
     p = patch
     _, _, _, s3p, cp = x_ref.shape
@@ -399,9 +404,8 @@ def _shift_kernel(x_ref, u0b_ref, v0p_ref, mask_ref, y_ref, *, patch: int,
         patch=patch, solver=solver, num_iters=num_iters, eps=eps,
         precision=precision,
     ).reshape(p, p, s3p, cp)
-    # Output stays lane-packed AND dim-3-rolled; the caller unpacks and
-    # rolls back in XLA, fused into the shift-averaging add.
-    y_ref[0] = y.astype(y_ref.dtype)
+    # Output stays lane-packed; dim-3 coordinates are already unrolled.
+    y_ref[0] = _roll_packed3(y, -shift3, pack).astype(y_ref.dtype)
 
 
 def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch: int,
@@ -446,7 +450,10 @@ def _shift_bwd_kernel(x_ref, g_ref, u0b_ref, v0p_ref, mask_ref, dx_ref, *, patch
 
     _, vjp = jax.vjp(f, x)
     (dx,) = vjp(g)
-    dx_ref[0] = dx.reshape(p, p, s3p, cp).astype(dx_ref.dtype)
+    # Undo the dim-3 shift on-chip (see _shift_kernel); dims 1/2 roll back
+    # in XLA.
+    dx = _roll_packed3(dx.reshape(p, p, s3p, cp), -shift3, pack)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _pad12(x: Array, p: int) -> Array:
@@ -560,14 +567,11 @@ def _multi_forward_impl(x, u0, v0, head_dim, patch, shifts, solver, num_iters, e
         fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
                             _pick_precision(x.dtype), part, pack)
         ys = fn(xp, u0b, v0p, mask)
-        # Undo the shift (the kernel output is in rolled coordinates in all
-        # three dims) WITHOUT leaving the packed layout: dims 1/2 are
-        # untouched by packing; dim 3 uses the chunk-aware packed roll.  The
-        # boundary unpack relayout then happens once, after the average.
+        # Undo the dims-1/2 shift (the kernel already unrolled dim 3
+        # on-chip) WITHOUT leaving the packed layout; the boundary unpack
+        # relayout then happens once, after the average.
         if sh[0] or sh[1]:
             ys = jnp.roll(ys, (-sh[0], -sh[1]), (1, 2))
-        if sh[2]:
-            ys = _roll3_packed_xla(ys, -sh[2], pack, c)
         acc = ys if acc is None else acc + ys
     return _unpack_lanes_xla(acc, pack, c) / len(shifts)
 
@@ -640,8 +644,6 @@ def _multi_backward_impl(x, g, u0, v0, head_dim, patch, shifts, solver, num_iter
         dxs = fn(xp, gp, u0b, v0p, mask)
         if sh[0] or sh[1]:
             dxs = jnp.roll(dxs, (-sh[0], -sh[1]), (1, 2))
-        if sh[2]:
-            dxs = _roll3_packed_xla(dxs, -sh[2], pack, c)
         dacc = dxs if dacc is None else dacc + dxs
     return _unpack_lanes_xla(dacc, pack, c) * scale
 

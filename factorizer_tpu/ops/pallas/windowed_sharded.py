@@ -31,7 +31,6 @@ from .windowed_nmf_kernel import (
     _pack_lanes_xla,
     _pick_precision,
     _prep_inputs,
-    _roll3_packed_xla,
     _shift_bwd_pass_fn,
     _shift_pass_fn,
     _unpack_lanes_xla,
@@ -77,14 +76,12 @@ def _local_forward(x, u0, v0, head_dim, patch, shifts, solver, num_iters, eps,
         sh = _norm_shift(shift, p)
         fn = _shift_pass_fn(p, sh, solver, num_iters, float(eps),
                             _pick_precision(x.dtype), False, pack)
-        # Accumulate in the packed layout (dim 2 is untouched by packing;
-        # dim 3 uses the chunk-aware packed roll) and unpack once after the
-        # average; the dim-1 halo roll-back moves whole packed rows.
+        # Accumulate in the packed layout (the kernel already unrolled
+        # dim 3 on-chip) and unpack once after the average; the dim-1 halo
+        # roll-back moves whole packed rows.
         ys = fn(xp, u0b, v0p, mask)
         if sh[1]:
             ys = jnp.roll(ys, -sh[1], axis=2)
-        if sh[2]:
-            ys = _roll3_packed_xla(ys, -sh[2], pack, c)
         ys = _roll_back_dim1(ys, sh[0], axis_name)
         acc = ys if acc is None else acc + ys
     return _unpack_lanes_xla(acc, pack, c) / len(shifts)
@@ -107,8 +104,6 @@ def _local_backward(x, g, u0, v0, head_dim, patch, shifts, solver, num_iters,
         dxs = fn(xp, gp, u0b, v0p, mask)
         if sh[1]:
             dxs = jnp.roll(dxs, -sh[1], axis=2)
-        if sh[2]:
-            dxs = _roll3_packed_xla(dxs, -sh[2], pack, c)
         dxs = _roll_back_dim1(dxs, sh[0], axis_name)
         dacc = dxs if dacc is None else dacc + dxs
     return _unpack_lanes_xla(dacc, pack, c) / len(shifts)
