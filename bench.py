@@ -220,8 +220,11 @@ def main() -> None:
     ):
         try:
             train_s, train_bytes = _train_step_time(dtype)
-        except Exception:
-            pass
+        except Exception as e:  # keep the primary metric alive, but say why
+            import sys, traceback
+
+            print(f"train-step measurement failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
 
     vs_a100 = vol_per_s / A100_ANCHOR_VOL_PER_S
     v5p_projected = vol_per_s * CHIP_HBM_BYTES_PER_S["v5p"] / bw
