@@ -264,7 +264,24 @@ def _conv_dim_numbers(p: int):
     return (f"N{s}C", f"{s}IO", f"N{s}C")
 
 
-def _space_to_depth_matmul(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
+def _patch_subs(p: int) -> tuple[str, str, str]:
+    """Einsum subscripts for patch-interleaved contractions: grid axes,
+    intra-patch axes, and their (grid, patch)-interleaved pairing."""
+    g, k = "wxyz"[:p], "ijkl"[:p]
+    return g, k, "".join(a + b for a, b in zip(g, k))
+
+
+def _patch_view(x: Array, ks: Sequence[int]) -> Array:
+    """Free byte-reshape splitting each spatial axis into (grid, patch)."""
+    B, *spatial, c = x.shape
+    shape = [B]
+    for s, k in zip(spatial, ks):
+        shape += [s // k, k]
+    return x.reshape(*shape, c)
+
+
+@jax.custom_vjp
+def _space_to_depth_matmul(x: Array, kernel: Array) -> Array:
     """Non-overlapping conv (``kernel_size == strides``, no padding) as one
     MXU contraction: a free byte-reshape splits each spatial axis into
     (grid, intra-patch), then a single einsum contracts the intra-patch axes
@@ -277,20 +294,72 @@ def _space_to_depth_matmul(x: Array, kernel: Array, ks: Sequence[int]) -> Array:
     forcing a materialized 2p+2-D transpose; in the flagship train step it
     measured 0.2422 s vs 0.2488 s for the explicit transpose+matmul form
     (bytes 123.9 vs 125.8 GB, round-4 sweep).
+
+    Custom VJP: XLA's autodiff derives the input gradient as a convolution,
+    which TPU layout assignment surrounds with multi-ms T(2,128) relayout
+    copies of the 2p+2-D interleaved tensors (round-4 trace: ~12 ms/step).
+    Hand-written, the input gradient IS the mirror depth-to-space einsum and
+    the kernel gradient a plain contraction — both stay in the free-reshape
+    layout family.
     """
-    B, *spatial, c = x.shape
-    p = len(spatial)
-    grid = [s // k for s, k in zip(spatial, ks)]
-    shape = [B]
-    for g, k in zip(grid, ks):
-        shape += [g, k]
-    x = x.reshape(*shape, c)
-    gsub, ksub = "wxyz"[:p], "ijkl"[:p]
-    eq = (
-        "b" + "".join(a + b for a, b in zip(gsub, ksub)) + "c,"
-        + ksub + "cd->b" + gsub + "d"
+    p = x.ndim - 2
+    g, k, il = _patch_subs(p)
+    return jnp.einsum(
+        f"b{il}c,{k}cd->b{g}d", _patch_view(x, kernel.shape[:p]), kernel
     )
-    return jnp.einsum(eq, x, kernel)
+
+
+def _s2d_fwd(x, kernel):
+    return _space_to_depth_matmul(x, kernel), (x, kernel)
+
+
+def _s2d_bwd(res, dy):
+    x, kernel = res
+    p = x.ndim - 2
+    g, k, il = _patch_subs(p)
+    dx = jnp.einsum(f"b{g}d,{k}cd->b{il}c", dy, kernel).reshape(x.shape)
+    dk = jnp.einsum(f"b{il}c,b{g}d->{k}cd", _patch_view(x, kernel.shape[:p]), dy)
+    return dx, dk
+
+
+_space_to_depth_matmul.defvjp(_s2d_fwd, _s2d_bwd)
+
+
+@jax.custom_vjp
+def _depth_to_space_matmul(x: Array, kernel: Array) -> Array:
+    """Mirror of ``_space_to_depth_matmul`` for the k==s conv-transpose
+    upsample: one einsum emits the output directly in (grid, intra-patch)-
+    interleaved order, so the depth-to-space restructuring is a free
+    byte-reshape instead of a materialized 2p+2-D transpose (chosen by
+    interleaved chip measurement, PERFORMANCE.md round 4: train step
+    0.2264 -> 0.2210 s).  ``kernel`` is the spatially-flipped
+    ``(*ks, c_in, c_out)`` filter.  Custom VJP for the same reason as the
+    s2d form: the hand-written gradients are the mirror einsums and avoid
+    XLA's derived-convolution layout copies.
+    """
+    p = x.ndim - 2
+    ks = kernel.shape[:p]
+    g, k, il = _patch_subs(p)
+    B, *grid, _ = x.shape
+    y = jnp.einsum(f"b{g}c,{k}cd->b{il}d", x, kernel)
+    return y.reshape(B, *[gg * kk for gg, kk in zip(grid, ks)], kernel.shape[-1])
+
+
+def _d2s_fwd(x, kernel):
+    return _depth_to_space_matmul(x, kernel), (x, kernel)
+
+
+def _d2s_bwd(res, dy):
+    x, kernel = res
+    p = x.ndim - 2
+    g, k, il = _patch_subs(p)
+    dyr = _patch_view(dy, kernel.shape[:p])
+    dx = jnp.einsum(f"b{il}d,{k}cd->b{g}c", dyr, kernel)
+    dk = jnp.einsum(f"b{g}c,b{il}d->{k}cd", x, dyr)
+    return dx, dk
+
+
+_depth_to_space_matmul.defvjp(_d2s_fwd, _d2s_bwd)
 
 
 # A strided-slice alternative to the space-to-depth transpose was built and
@@ -372,7 +441,7 @@ class _FastConv(nn.Module):
             and no_pad
             and all(s % k == 0 for s, k in zip(spatial, ks))
         ):
-            y = _space_to_depth_matmul(x, kernel, ks)
+            y = _space_to_depth_matmul(x, kernel)
         elif (
             simple
             and all(s == 1 for s in st)
@@ -380,6 +449,7 @@ class _FastConv(nn.Module):
             # cap the materialized column tensor (prod(ks) x input) so large
             # batch/volume stems can't balloon to multi-GB temporaries
             and x.size * math.prod(ks) * x.dtype.itemsize <= _IM2COL_BYTES_CAP
+            and os.environ.get("FTX_STEM", "im2col") != "conv"
         ):
             y = _im2col_matmul(x, kernel, ks, self.padding)
         else:
@@ -432,21 +502,7 @@ class _FastConvTranspose(nn.Module):
             # into an independent k^p block: y[..., i*k+a, co] =
             # sum_ci x[..., i, ci] * flip(K)[a, ci, co].
             flipped = kernel[(slice(None, None, -1),) * p]
-            B, *grid, _ = x.shape
-            # Mirror of _space_to_depth_matmul: one einsum emits the output
-            # directly in (grid, intra-patch)-interleaved order, so the
-            # depth-to-space restructuring is a free byte-reshape and XLA
-            # picks the scatter strategy instead of a materialized 2p+2-D
-            # transpose.  Bit-identical to the matmul+transpose form; chosen
-            # by interleaved chip measurement (PERFORMANCE.md round 4:
-            # train step 0.2264 -> 0.2210 s, 107.6 -> 104.9 GB/step).
-            gsub, ksub = "wxyz"[:p], "ijkl"[:p]
-            eq = (
-                "b" + gsub + "c," + ksub + "cd->b"
-                + "".join(a + b for a, b in zip(gsub, ksub)) + "d"
-            )
-            y = jnp.einsum(eq, x, flipped)
-            y = y.reshape(B, *[g * k for g, k in zip(grid, ks)], self.features)
+            y = _depth_to_space_matmul(x, flipped)
         else:
             y = jax.lax.conv_transpose(
                 x,
