@@ -273,16 +273,19 @@ def get_worker_id() -> Optional[int]:
 
 
 def get_worker_epoch() -> int:
-    """The loader epoch the current worker pool was forked for.
+    """The loader epoch the current worker is producing for.
 
-    Folded into the per-worker RNG spawn key: each epoch forks a fresh pool
-    whose workers get the same ids, so without the epoch every epoch would
-    replay epoch 1's augmentation stream exactly.
+    Folded into the per-worker RNG spawn key: workers get the same ids every
+    epoch, so without the epoch every epoch would replay epoch 1's
+    augmentation stream exactly.  Under ``persistent_workers`` the epoch is
+    a shared Value updated by ``set_epoch`` (the pool outlives epochs);
+    otherwise it is the int the per-epoch pool was forked with.
     """
-    return _worker_epoch
+    e = _worker_epoch
+    return int(e.value) if hasattr(e, "value") else int(e)
 
 
-def _pool_initializer(counter, token: int, epoch: int) -> None:
+def _pool_initializer(counter, token: int, epoch) -> None:
     global _worker_id, _worker_dataset, _worker_epoch
     with counter.get_lock():
         _worker_id = int(counter.value)
@@ -330,6 +333,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         use_processes: bool = False,
+        persistent_workers: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -340,6 +344,19 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.use_processes = use_processes
+        # Fork the process pool ONCE and reuse it across epochs (torch's
+        # persistent_workers): a per-epoch fork re-pays page-table copy of
+        # the whole parent (jax runtime + cached datasets) every epoch.
+        # Workers read the epoch from a shared Value, so per-worker
+        # augmentation streams still advance per epoch.  Only safe when the
+        # dataset is fully constructed before iteration (CacheDataset warms
+        # in its ctor; PersistentDataset shares its cache on disk) — a cache
+        # filled lazily in the parent after the fork would be invisible to
+        # the workers.
+        self.persistent_workers = bool(persistent_workers and use_processes)
+        self._pool = None
+        self._pool_token: Optional[int] = None
+        self._epoch_value = None
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -374,26 +391,42 @@ class DataLoader:
         stop = threading.Event()
         token = next(_pool_tokens)
 
-        def make_pool():
-            if self.use_processes:
-                import multiprocessing as mp
-                from concurrent.futures import ProcessPoolExecutor
+        def make_proc_pool(token_, epoch):
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
 
-                # registry entry must exist before the (lazy) fork; each
-                # pool resolves its own entry, so concurrent loaders can't
-                # hand each other's dataset to their workers
-                _shared_datasets[token] = self.dataset
-                ctx = mp.get_context("fork")
-                counter = ctx.Value("i", 0)
-                return ProcessPoolExecutor(
-                    self.num_workers,
-                    mp_context=ctx,
-                    initializer=_pool_initializer,
-                    initargs=(counter, token, self.epoch),
-                )
+            # registry entry must exist before the (lazy) fork; each
+            # pool resolves its own entry, so concurrent loaders can't
+            # hand each other's dataset to their workers
+            _shared_datasets[token_] = self.dataset
+            ctx = mp.get_context("fork")
+            counter = ctx.Value("i", 0)
+            return ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=ctx,
+                initializer=_pool_initializer,
+                initargs=(counter, token_, epoch),
+            )
+
+        def make_pool():
+            """Returns (pool, owned): ``owned`` pools are closed per epoch."""
+            if self.use_processes:
+                if self.persistent_workers:
+                    if self._pool is None:
+                        import multiprocessing as mp
+
+                        self._pool_token = token
+                        self._epoch_value = mp.get_context("fork").Value(
+                            "i", self.epoch
+                        )
+                        self._pool = make_proc_pool(token, self._epoch_value)
+                    with self._epoch_value.get_lock():
+                        self._epoch_value.value = self.epoch
+                    return self._pool, False
+                return make_proc_pool(token, self.epoch), True
             from concurrent.futures import ThreadPoolExecutor
 
-            return ThreadPoolExecutor(self.num_workers)
+            return ThreadPoolExecutor(self.num_workers), True
 
         def put(item) -> bool:
             """stop-aware q.put: an abandoned consumer (early break) sets
@@ -409,7 +442,8 @@ class DataLoader:
 
         def producer():
             try:
-                with make_pool() as pool:
+                pool, owned = make_pool()
+                try:
                     if self.use_processes:
                         # keep a bounded window of in-flight items so parallelism
                         # spans batch boundaries without unbounded memory
@@ -441,13 +475,17 @@ class DataLoader:
                             items = list(pool.map(self.dataset.__getitem__, b))
                             if not put(self.collate_fn(items)):
                                 return
+                finally:
+                    if owned:
+                        pool.shutdown()
                 put(None)
             except BaseException as exc:  # surface worker/transform errors
                 # without a sentinel the consumer would block on q.get()
                 # forever while this daemon thread dies silently
                 put(_ProducerError(exc))
             finally:
-                _shared_datasets.pop(token, None)
+                if not self.persistent_workers:
+                    _shared_datasets.pop(token, None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -461,3 +499,18 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+    def close(self) -> None:
+        """Shut down a persistent worker pool (no-op otherwise)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            if self._pool_token is not None:
+                _shared_datasets.pop(self._pool_token, None)
+                self._pool_token = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass

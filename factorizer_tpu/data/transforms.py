@@ -225,7 +225,17 @@ class LoadImaged(MapTransform):
         for key in self.key_iterator(d):
             paths = d[key]
             if isinstance(paths, (list, tuple)):
-                imgs = [_load_image_any(p) for p in paths]
+                if len(paths) > 1 and _resample_threads() != 1:
+                    # Multi-modality case: decode the files concurrently (the
+                    # native NIfTI decoder and gzip release the GIL).  Inside
+                    # forked loader workers this stays serial — the pool is
+                    # the parallelism there (same policy as the resampler).
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(min(len(paths), 4)) as pool:
+                        imgs = list(pool.map(_load_image_any, paths))
+                else:
+                    imgs = [_load_image_any(p) for p in paths]
                 arr = np.stack([np.asarray(im.data) for im in imgs], axis=0)
                 affine = imgs[0].affine
             else:

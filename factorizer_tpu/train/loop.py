@@ -81,6 +81,9 @@ class SegmentationTrainer:
         max_to_keep: int = 1,
         ckpt_best: bool = False,
         accum_steps: int = 1,
+        model_axis: Optional[str] = None,
+        shard_spatial: bool = False,
+        tp_min_weight_size: int = 2**14,
     ) -> None:
         self.model = model
         self.train_loader = train_loader
@@ -93,6 +96,25 @@ class SegmentationTrainer:
         self.seed = seed
         self.compute_hd95 = compute_hd95
         self.mesh = mesh
+        # Tensor/spatial parallelism (beyond the reference's pure DDP): with
+        # ``model_axis`` set and present in the mesh, large kernels shard
+        # over it (param_sharding_rules) and, with ``shard_spatial``, the
+        # batch's first spatial axis does too (GSPMD halo exchanges).  The
+        # flat (raveled) optimizer is incompatible with sharded params (the
+        # ravel would all-gather them), so it switches off automatically.
+        self._model_axis = (
+            model_axis
+            if mesh is not None
+            and model_axis is not None
+            and model_axis in mesh.axis_names
+            and mesh.shape[model_axis] > 1
+            else None
+        )
+        self._spatial_axis = self._model_axis if shard_spatial else None
+        self._tp_min_weight_size = tp_min_weight_size
+        # Host->device image transfer dtype: the model's compute dtype when
+        # amp is on (see _device_batch / _model_input_dtype).
+        self._input_dtype = _model_input_dtype(model)
         # Validation inferer with OOM degradation (reference train.yaml:206-212
         # uses SlidingWindowInfererAdapt); sticky across validations.
         self._inferer = SlidingWindowInfererAdapt(
@@ -107,7 +129,8 @@ class SegmentationTrainer:
             total_steps=max_epochs * steps_per_epoch,
         )
         self.train_step = make_train_step(
-            model, loss_fn=loss_fn, mesh=mesh, accum_steps=accum_steps
+            model, loss_fn=loss_fn, mesh=mesh, accum_steps=accum_steps,
+            spatial_axis=self._spatial_axis,
         )
 
         def _apply(variables, windows):
@@ -150,7 +173,9 @@ class SegmentationTrainer:
             sample_batch = next(iter(self.train_loader))
         x = jnp.asarray(sample_batch["image"])
         self.state = create_train_state(
-            self.model, self.tx, x, jax.random.key(self.seed), train_kwargs={"train": False}
+            self.model, self.tx, x, jax.random.key(self.seed),
+            train_kwargs={"train": False},
+            flat_optimizer=self._model_axis is None,
         )
         if process_is_primary():
             logger.info("model parameters: %.2fM", _param_count(self.state.params) / 1e6)
@@ -172,18 +197,25 @@ class SegmentationTrainer:
                 "resumed from checkpoint step %s (best mean_dice %s)",
                 int(self.state.step), saved_best,
             )
-        if self.mesh is not None and jax.process_count() > 1:
-            # Multi-host: the freshly-initialized (or restored) state lives on
-            # each host's local device 0.  Place it replicated over the GLOBAL
-            # mesh so the sharded train step receives well-formed global
-            # arrays (every host holds the same values: same seed / same
-            # checkpoint).
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is not None and (
+            jax.process_count() > 1 or self._model_axis is not None
+        ):
+            # Place the freshly-initialized (or restored) host-local state
+            # onto the global mesh: every leaf follows the param rule (TP
+            # kernels shard over the model axis; everything else replicates
+            # — the pure-DP case degenerates to full replication).  The
+            # optimizer's momentum leaves mirror parameter shapes, so the
+            # same shape-based rule co-locates them with their params.
+            # Every host holds the same values (same seed / same
+            # checkpoint), so each can serve its addressable shards.
+            from ..parallel.sharding import param_leaf_rule, place_global
 
-            rep = NamedSharding(self.mesh, P())
+            rule = param_leaf_rule(
+                self.mesh, self._model_axis,
+                min_weight_size=self._tp_min_weight_size,
+            )
             self.state = jax.tree.map(
-                lambda a: jax.make_array_from_process_local_data(rep, np.asarray(a)),
-                self.state,
+                lambda a: place_global(a, rule(a)), self.state
             )
         return self.state
 
@@ -196,15 +228,49 @@ class SegmentationTrainer:
         sharded jit would treat them as replicated, and the data-axis
         constraint would then select only 1/num_hosts of each host's rows —
         silently training on half the loaded data (2-host case).
+
+        Transfer dtypes: one-hot labels ship in the loader's integer dtype
+        (uint8 from EnsureTyped — 4x fewer host->device bytes than the f32
+        upcast; the loss casts to f32 on device, exactly).  Under amp the
+        image ships in the model compute dtype (bf16, 2x fewer bytes) —
+        bitwise identical to uploading f32, since the stem's first op casts
+        activations to the compute dtype anyway.
         """
         image = np.asarray(batch["image"])
-        label = np.asarray(batch["label"], np.float32)
+        if self._input_dtype is not None and image.dtype == np.float32:
+            image = image.astype(self._input_dtype)
+        label = np.asarray(batch["label"])
+        if not np.issubdtype(label.dtype, np.integer):
+            label = np.asarray(label, np.float32)
         if self.mesh is not None and jax.process_count() > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import data_process_groups
+            from ..parallel.sharding import input_sharding
+
+            n_groups, _ = data_process_groups(self.mesh)
+
             def glob(v):
-                sh = NamedSharding(self.mesh, P("data", *([None] * (v.ndim - 1))))
-                return jax.make_array_from_process_local_data(sh, v)
+                if self._spatial_axis is None and n_groups == jax.process_count():
+                    # classic DP layout: each host's rows are a contiguous
+                    # block of the global batch
+                    sh = NamedSharding(
+                        self.mesh, P("data", *([None] * (v.ndim - 1)))
+                    )
+                    return jax.make_array_from_process_local_data(sh, v)
+                # model/spatial axis spans processes: loader groups hold the
+                # FULL global batch (data_process_groups == 1 made them load
+                # identical data), each host donates its addressable shards
+                assert n_groups == 1, (
+                    "spatial/model sharding across hosts requires a single "
+                    "loader group (data_process_groups(mesh)[0] == 1)"
+                )
+                sh = input_sharding(
+                    self.mesh, v.ndim, "data", self._spatial_axis
+                )
+                return jax.make_array_from_callback(
+                    v.shape, sh, lambda idx, v=v: v[idx]
+                )
 
             return {"image": glob(image), "label": glob(label)}
         return {"image": jnp.asarray(image), "label": jnp.asarray(label)}
@@ -220,16 +286,25 @@ class SegmentationTrainer:
         variables = self.state.variables()
         if jax.process_count() > 1:
             # Validation runs independently per host on its own val shard:
-            # fetch a host-local copy of the (replicated) weights so the
-            # sliding-window executables stay local and hosts never need to
-            # stay in jit lockstep across differing val-set sizes.
-            variables = jax.device_get(variables)
+            # fetch a host-local copy of the weights so the sliding-window
+            # executables stay local and hosts never need to stay in jit
+            # lockstep across differing val-set sizes.  TP-sharded params are
+            # not fully addressable per host, so they are allgathered over
+            # the mesh first; replicated params fetch directly.
+            if self._model_axis is not None:
+                from jax.experimental import multihost_utils
+
+                variables = multihost_utils.process_allgather(
+                    variables, tiled=True
+                )
+            else:
+                variables = jax.device_get(variables)
 
         dice = MeanDice()
         hd = MeanHausdorffDistance() if self.compute_hd95 else None
         logged_images = False
         for batch in self.val_loader:
-            images = jnp.asarray(batch["image"])
+            images = _upload_image(batch["image"], self._input_dtype)
             labels = np.asarray(batch["label"])
             logits = self._inferer(
                 images, self._sw_predict, predictor_args=(variables,)
@@ -373,6 +448,30 @@ _PREDICTOR_CACHE: dict = {}
 _PREDICTOR_CACHE_MAX = 32
 
 
+def _model_input_dtype(model):
+    """The host->device image transfer dtype for a model, or None.
+
+    Under amp (model compute dtype bf16) the stem's first op casts the input
+    to bf16 anyway, so casting on the host before upload is bitwise identical
+    and halves the PCIe/tunnel bytes (see PERFORMANCE.md "Sustained
+    training").
+    """
+    model_dtype = getattr(model, "dtype", None)
+    if model_dtype is None:
+        return None
+    try:
+        return np.dtype(model_dtype)
+    except TypeError:
+        return None
+
+
+def _upload_image(images, input_dtype) -> jnp.ndarray:
+    arr = np.asarray(images)
+    if input_dtype is not None and arr.dtype == np.float32:
+        arr = arr.astype(input_dtype)
+    return jnp.asarray(arr)
+
+
 @jax.jit
 def _threshold_mask(logits):
     """Binarize logits on the device: sigmoid(x) > 0.5 is exactly x > 0.
@@ -418,6 +517,7 @@ class Evaluator:
         self.overlap = overlap
         self.compute_hd95 = compute_hd95
         self.postprocess = postprocess
+        self._input_dtype = _model_input_dtype(model)
 
         self._predict, self._sw_predict = _shared_predictor(model)
         self._inferer = SlidingWindowInfererAdapt(
@@ -426,7 +526,8 @@ class Evaluator:
 
     def predict(self, images) -> jnp.ndarray:
         return self._inferer(
-            jnp.asarray(images), self._sw_predict, predictor_args=(self.variables,)
+            _upload_image(images, self._input_dtype),
+            self._sw_predict, predictor_args=(self.variables,),
         )
 
     def predict_mask(self, images) -> np.ndarray:
