@@ -24,11 +24,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "data_parallel_mesh",
+    "model_parallel_mesh",
     "batch_sharding",
     "replicated",
     "local_device_count",
     "initialize_distributed",
     "process_is_primary",
+    "data_process_groups",
 ]
 
 
@@ -64,6 +66,59 @@ def data_parallel_mesh(n: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     n = len(devices) if n is None else n
     return make_mesh({"data": n}, devices)
+
+
+def model_parallel_mesh(
+    data: int = -1, model: Optional[int] = None, model_across_processes: bool = True
+) -> Mesh:
+    """A 2-D ``{data, model}`` mesh; by default the ``model`` axis spans
+    process boundaries (one model shard per host) so TP parameter shards and
+    spatially-sharded volumes ride the inter-host links while each host's
+    local devices carry different batch rows.
+
+    With ``model_across_processes=False`` the layout is the transpose:
+    ``data`` spans processes (per-host datalist shards) and ``model`` stays
+    host-local.
+    """
+    devices = jax.devices()
+    n_proc = jax.process_count()
+    model = n_proc if model is None else model
+    data = len(devices) // model if data == -1 else data
+    if data * model != len(devices):
+        raise ValueError(f"{data}x{model} mesh over {len(devices)} devices")
+    grid = np.array(devices).reshape(n_proc, -1)  # [process, local_device]
+    if model_across_processes:
+        # mesh[d, m] = process m's local device d
+        if model % n_proc != 0 or (n_proc > 1 and data > grid.shape[1]):
+            raise ValueError("model axis must be a multiple of the process count")
+        grid = grid.T.reshape(data, model)
+    else:
+        grid = grid.reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def data_process_groups(mesh: Mesh, data_axis: str = "data") -> tuple[int, int]:
+    """How this process should shard the datalist under ``mesh``.
+
+    Returns ``(num_groups, group_index)``: processes whose devices cover the
+    same set of ``data``-axis indices form one loader group and must load
+    identical data (their devices hold different model/spatial shards of the
+    same rows); groups with disjoint data indices load disjoint datalist
+    partitions (the DistributedSampler analogue).  Pure-DP meshes reduce to
+    ``(process_count, process_index)``; model-axis-across-hosts meshes reduce
+    to ``(1, 0)``.
+    """
+    if data_axis not in mesh.axis_names:
+        return 1, 0
+    axis_num = list(mesh.axis_names).index(data_axis)
+    by_process: dict[int, set] = {}
+    it = np.ndindex(*mesh.devices.shape)
+    for idx in it:
+        dev = mesh.devices[idx]
+        by_process.setdefault(dev.process_index, set()).add(idx[axis_num])
+    groups = sorted({tuple(sorted(s)) for s in by_process.values()})
+    mine = tuple(sorted(by_process[jax.process_index()]))
+    return len(groups), groups.index(mine)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data", ndim: int = 5) -> NamedSharding:

@@ -19,7 +19,49 @@ from typing import Any, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["param_sharding_rules", "input_sharding", "shard_variables"]
+__all__ = [
+    "param_sharding_rules",
+    "param_leaf_rule",
+    "input_sharding",
+    "shard_variables",
+    "place_global",
+]
+
+
+def param_leaf_rule(
+    mesh: Mesh,
+    model_axis: Optional[str] = "model",
+    min_weight_size: int = 2**14,
+):
+    """The leaf -> NamedSharding rule behind :func:`param_sharding_rules`.
+
+    Exposed separately so optimizer-state trees (whose momentum leaves mirror
+    the parameter shapes) can be sharded with the SAME rule — a leaf's
+    sharding depends only on its shape/size, so mu/nu land with their params
+    and scalars/counters replicate.
+    """
+    has_model = model_axis is not None and model_axis in mesh.axis_names
+    model_size = mesh.shape[model_axis] if has_model else 1
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        ndim = len(shape)
+        size = 1
+        for s in shape:
+            size *= s
+        if (
+            has_model
+            and model_size > 1
+            and ndim >= 2
+            and size >= min_weight_size
+            and shape[-1] % model_size == 0
+        ):
+            spec = [None] * ndim
+            spec[-1] = model_axis
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return rule
 
 
 def param_sharding_rules(
@@ -34,23 +76,8 @@ def param_sharding_rules(
     total size exceeds ``min_weight_size`` are sharded over that axis
     (output-feature / tensor parallelism); everything else is replicated.
     """
-    has_model = model_axis is not None and model_axis in mesh.axis_names
-    model_size = mesh.shape[model_axis] if has_model else 1
-
-    def rule(path, leaf):
-        if (
-            has_model
-            and model_size > 1
-            and leaf.ndim >= 2
-            and leaf.size >= min_weight_size
-            and leaf.shape[-1] % model_size == 0
-        ):
-            spec = [None] * leaf.ndim
-            spec[-1] = model_axis
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(rule, variables)
+    rule = param_leaf_rule(mesh, model_axis, min_weight_size)
+    return jax.tree_util.tree_map(rule, variables)
 
 
 def input_sharding(
@@ -76,3 +103,20 @@ def input_sharding(
 def shard_variables(variables: Any, shardings: Any) -> Any:
     """Place a variables pytree onto its shardings."""
     return jax.tree_util.tree_map(jax.device_put, variables, shardings)
+
+
+def place_global(value, sharding: NamedSharding):
+    """Place a host-local array onto a (possibly cross-process) sharding.
+
+    Every process must hold the SAME full ``value`` (same seed / same
+    checkpoint / same loaded batch); each contributes only its addressable
+    shards, so this works for shardings whose pieces live on other hosts —
+    the placement path for TP-sharded parameters and spatially-sharded
+    inputs in multi-host training.  Single-process, it is ``device_put``.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    return jax.make_array_from_callback(value.shape, sharding, lambda idx: value[idx])

@@ -103,11 +103,16 @@ def make_train_step(
     data_axis: str = "data",
     donate: bool = True,
     accum_steps: int = 1,
+    spatial_axis: Optional[str] = None,
 ):
     """Build the jitted ``(state, batch, rng) -> (state, metrics)`` step.
 
     With a mesh, inputs are constrained batch-sharded over ``data_axis`` and
     params follow :func:`param_sharding_rules`; without one, plain jit.
+    ``spatial_axis`` additionally constrains the batch's first spatial axis
+    over that mesh axis (spatial parallelism: GSPMD inserts the halo
+    exchanges; without the constraint the data-axis spec would force an
+    all-gather of the spatially-sharded input).
 
     ``accum_steps > 1`` splits the batch into that many microbatches and
     accumulates gradients with ``lax.scan`` before the single optimizer
@@ -188,12 +193,18 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        batch_sh = NamedSharding(mesh, P(data_axis))
+
+        def _batch_spec(ndim: int) -> P:
+            spec: list = [None] * ndim
+            spec[0] = data_axis
+            if spatial_axis is not None and ndim >= 3:
+                spec[2] = spatial_axis  # first spatial axis, channels-first
+            return P(*spec)
 
         def sharded_step(state, batch, rng):
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P(data_axis, *([None] * (x.ndim - 1))))
+                    x, NamedSharding(mesh, _batch_spec(x.ndim))
                 ),
                 batch,
             )

