@@ -231,3 +231,199 @@ def test_evaluate_bundle_pipeline_voxel_parity(tmp_path):
     case_metrics = json.loads((tmp_path / "case_metrics.json").read_text())
     assert case_metrics["mean_dice"] == pytest.approx(dice_indep, abs=1e-9)
     assert metrics["mean_dice"] == pytest.approx(dice_indep, abs=1e-9)
+
+
+# ---- resampled-geometry parity (VERDICT round 4, item 5) --------------------
+#
+# Same two-stack comparison, but the case now carries a NON-IDENTITY affine:
+# anisotropic spacing + a non-RAS orientation (voxel axes map to P/L/I), so
+# the bundle chain's Orientationd and Spacingd actually transform the data
+# and `Invertd` must invert the resample and the orientation — the op
+# classes the identity-affine test above never exercises
+# (reference: evaluate.yaml:11-18; Spacingd in train.yaml:100-105).
+#
+# The independent side re-derives the documented semantics: nibabel
+# io_orientation (dominant world axis per voxel column), scipy
+# ``affine_transform``'s endpoint-aligned coordinate map
+# ``x_in = o * (I-1)/(O-1)`` with border clamp, order-0 rounding
+# ``floor(x + 0.5)``, and trilinear corner weights.  Both stacks use the
+# same documented rounding convention on identical double-precision ratios,
+# so the nearest-neighbor inversion agrees exactly; the final saved mask is
+# compared with exact equality.
+
+
+def _orient_to_ras_indep(arr: np.ndarray, affine: np.ndarray):
+    """nibabel io_orientation semantics, re-derived for the test."""
+    R = affine[:3, :3]
+    codes = []
+    for j in range(3):
+        i = int(np.argmax(np.abs(R[:, j])))
+        codes.append((1 if R[i, j] >= 0 else -1) * (i + 1))
+    perm = [[abs(c) for c in codes].index(k) for k in (1, 2, 3)]
+    flips = [codes[p] < 0 for p in perm]
+    out = np.transpose(arr, (0, *[p + 1 for p in perm]))
+    for ax, f in enumerate(flips):
+        if f:
+            out = np.flip(out, axis=ax + 1)
+    return np.ascontiguousarray(out), perm, flips
+
+
+def _resample_endpoint_indep(arr: np.ndarray, out_shape, order: int) -> np.ndarray:
+    """scipy ``affine_transform(matrix=diag((I-1)/(O-1)), prefilter=False)``
+    semantics, re-derived: endpoint-aligned coords, border clamp, order-0
+    rounding floor(x+0.5), order-1 trilinear corner weights."""
+    in_shape = arr.shape[1:]
+    ratios = [(I - 1) / (O - 1) if O > 1 else 0.0 for I, O in zip(in_shape, out_shape)]
+    grids = [np.arange(O, dtype=np.float64) * r for O, r in zip(out_shape, ratios)]
+    if order == 0:
+        idx = [
+            np.clip(np.floor(g + 0.5).astype(np.int64), 0, I - 1)
+            for g, I in zip(grids, in_shape)
+        ]
+        return arr[:, idx[0][:, None, None], idx[1][None, :, None], idx[2][None, None, :]]
+    lo = [np.clip(np.floor(g).astype(np.int64), 0, I - 1) for g, I in zip(grids, in_shape)]
+    hi = [np.clip(l + 1, 0, I - 1) for l, I in zip(lo, in_shape)]
+    frac = [g - np.floor(g) for g in grids]
+    out = np.zeros((arr.shape[0], *out_shape), np.float64)
+    for bz in (0, 1):
+        for by in (0, 1):
+            for bx in (0, 1):
+                iz = (hi if bz else lo)[0]
+                iy = (hi if by else lo)[1]
+                ix = (hi if bx else lo)[2]
+                wz = frac[0] if bz else 1.0 - frac[0]
+                wy = frac[1] if by else 1.0 - frac[1]
+                wx = frac[2] if bx else 1.0 - frac[2]
+                w = wz[:, None, None] * wy[None, :, None] * wx[None, None, :]
+                out += arr[:, iz[:, None, None], iy[None, :, None], ix[None, None, :]] * w
+    return out
+
+
+def test_evaluate_bundle_resampled_geometry_parity(tmp_path):
+    rng = np.random.default_rng(11)
+
+    # voxel axes map to world P / L / I with anisotropic spacings: a fully
+    # non-trivial orientation (permutation + three flips) and three distinct
+    # zoom factors, one of them a downsample so SpatialPadd engages too.
+    sp_raw = (1.37, 0.91, 0.73)  # spacing along RAW voxel axes
+    affine = np.array([
+        [0.0, -sp_raw[1], 0.0, 10.0],
+        [-sp_raw[0], 0.0, 0.0, -7.0],
+        [0.0, 0.0, -sp_raw[2], 5.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+
+    raw = np.zeros((2, *RAW_SHAPE), np.float32)
+    raw[:, 3:24, 2:22, 2:18] = rng.random((2, 21, 20, 16), dtype=np.float32) + 0.1
+    raw[:, 8:16, 8:16, 6:14] += 1.5
+    label = np.zeros((1, *RAW_SHAPE), np.uint8)
+    label[0, 8:16, 8:16, 6:14] = 1
+
+    case = tmp_path / "case0"
+    case.mkdir()
+    for c in range(2):
+        save_nifti(case / f"mod{c}.nii.gz", raw[c], affine=affine)
+    save_nifti(case / "seg.nii.gz", label[0], affine=affine)
+
+    ref, ours, variables = _models()
+
+    from factorizer_tpu.data.native import get_library
+    if get_library() is None:
+        pytest.skip("native resampler unavailable (parity is pinned to it)")
+
+    from factorizer_tpu.train.checkpoint import save_checkpoint
+    from factorizer_tpu.zoo_scripts import evaluate_bundle
+
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, {"params": variables["params"],
+                           "buffers": variables.get("buffers", {})})
+
+    margin = 2
+    pre = T.Compose([
+        T.LoadImaged(["image", "label"], ensure_channel_first=True),
+        T.CropForegroundd(["image", "label"], source_key="image", margin=margin),
+        T.Orientationd(["image", "label"], axcodes="RAS"),
+        T.NormalizeIntensityd(["image"], nonzero=True, channel_wise=True),
+        T.Spacingd(["image", "label"], pixdim=(1.0, 1.0, 1.0), mode=["bilinear", "nearest"]),
+        T.EnsureTyped(["image", "label"], dtype=["float64", "uint8"]),
+        T.SpatialPadd(["image", "label"], spatial_size=ROI),
+    ])
+    items = [{
+        "id": "case0",
+        "image": [str(case / "mod0.nii.gz"), str(case / "mod1.nii.gz")],
+        "label": str(case / "seg.nii.gz"),
+    }]
+    loader = DataLoader(Dataset(items, pre), batch_size=1, num_workers=0)
+
+    out_dir = tmp_path / "preds"
+    evaluate_bundle(
+        ours, ckpt, loader, roi_size=ROI,
+        output_dir=str(out_dir),
+        case_metrics_path=str(tmp_path / "case_metrics.json"),
+        sw_batch_size=2, overlap=0.5, compute_hd95=False,
+    )
+    saved = sorted(out_dir.glob("*.nii.gz"))
+    assert len(saved) == 1
+    ours_img = load_nifti(saved[0])
+    ours_mask = np.asarray(ours_img.data).squeeze()
+    # the saved product carries the NATIVE affine (f32-rounded by the format)
+    assert np.allclose(ours_img.affine, affine, atol=1e-6)
+
+    # ---- independent side ---------------------------------------------------
+    lo, hi = _crop_foreground_bbox(raw, margin)
+    sl = tuple(slice(a, b) for a, b in zip(lo, hi))
+    img = raw[(slice(None), *sl)].astype(np.float64)
+    lbl = label[(slice(None), *sl)]
+
+    img, perm, flips = _orient_to_ras_indep(img, affine)
+    lbl, _, _ = _orient_to_ras_indep(lbl, affine)
+    assert sorted(perm) == [0, 1, 2] and any(flips)  # orientation is non-trivial
+
+    img = _normalize_nonzero(img)
+
+    # Spacingd: zoom from the f32-rounded stored affine (what LoadImaged sees)
+    sp_stored = np.sqrt((affine.astype(np.float32).astype(np.float64)[:3, :3] ** 2).sum(axis=0))
+    sp_oriented = [sp_stored[p] for p in perm]
+    zoom = np.asarray(sp_oriented) / 1.0
+    assert not np.allclose(zoom, 1.0, atol=1e-3)
+    oriented_shape = img.shape[1:]
+    cur_shape = tuple(int(round(s * z)) for s, z in zip(oriented_shape, zoom))
+    assert min(cur_shape) < min(ROI)  # the downsampled axis makes padding real
+    img = _resample_endpoint_indep(img, cur_shape, order=1)
+    lbl = _resample_endpoint_indep(lbl.astype(np.float64), cur_shape, order=0).astype(np.uint8)
+
+    img, pad_lo = _center_pad(img, ROI)
+    lbl, _ = _center_pad(lbl, ROI)
+
+    size = img.shape[1:]
+    importance = _gaussian_map(ROI)
+    out_sum = np.zeros((1, *size))
+    w_sum = np.zeros(size)
+    with torch.no_grad():
+        for start in _window_starts(size, ROI, overlap=0.5):
+            w_sl = tuple(slice(s, s + r) for s, r in zip(start, ROI))
+            win = torch.from_numpy(img[(slice(None), *w_sl)][None])
+            logits = ref(win).numpy()[0]
+            out_sum[(slice(None), *w_sl)] += logits * importance
+            w_sum[w_sl] += importance
+    logits_blend = out_sum / np.maximum(w_sum, 1e-8)
+    pred = (logits_blend > 0).astype(np.uint8)
+
+    # invert: un-pad -> inverse resample (nearest) -> inverse orientation ->
+    # un-crop, mirroring the recorded-op walk in reverse
+    unpad = tuple(slice(p, p + c) for p, c in zip(pad_lo, cur_shape))
+    pred = pred[(slice(None), *unpad)]
+    pred = _resample_endpoint_indep(pred.astype(np.float64), oriented_shape, order=0).astype(np.uint8)
+    for ax, f in reversed(list(enumerate(flips))):
+        if f:
+            pred = np.flip(pred, axis=ax + 1)
+    inv_perm = np.argsort(perm)
+    pred = np.ascontiguousarray(np.transpose(pred, (0, *[p + 1 for p in inv_perm])))
+    ref_mask = np.zeros(RAW_SHAPE, np.uint8)
+    ref_mask[sl] = pred[0]
+
+    assert ours_mask.shape == ref_mask.shape
+    diff = int((ours_mask != ref_mask).sum())
+    assert diff == 0, f"{diff} voxels differ on the native grid"
+    # the structure was actually segmented (guards trivially-empty parity)
+    assert ref_mask.sum() > 100
