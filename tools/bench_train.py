@@ -24,22 +24,21 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--spatial", type=int, default=128)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--k", type=int, default=3)
-    args = ap.parse_args()
-
-    import optax
-
+def build_model(name: str, spatial: int, dtype):
+    """The bundle operating-point model configs (zoo/*_brats23 network_def)."""
     import factorizer_tpu as ftx
-    from factorizer_tpu.train.losses import dice_ce_loss
-    from factorizer_tpu.train.trainer import TrainState, init_opt_state
 
-    sp = (args.spatial,) * 3
-    model = ftx.Factorizer(
+    sp = (spatial,) * 3
+    if name == "deconver":
+        # zoo/deconver_brats23/configs/train.yaml network_def
+        return ftx.Deconver(
+            in_channels=4, out_channels=3, spatial_dims=3,
+            encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
+            strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
+            norm=ftx.InstanceNorm, groups=-1, ratio=1, kernel_size=(3, 3, 3),
+            num_iters=1, mlp_ratio=4, dtype=dtype,
+        )
+    return ftx.Factorizer(
         in_channels=4,
         out_channels=3,
         spatial_size=sp,
@@ -53,7 +52,28 @@ def main() -> None:
         init_method="uniform",
         solver="hals",
         mlp_ratio=4,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        dtype=dtype,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spatial", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--model", default="factorizer", choices=["factorizer", "deconver"])
+    args = ap.parse_args()
+
+    import optax
+
+    import factorizer_tpu as ftx
+    from factorizer_tpu.train.losses import dice_ce_loss
+    from factorizer_tpu.train.trainer import TrainState, init_opt_state
+
+    sp = (args.spatial,) * 3
+    model = build_model(
+        args.model, args.spatial, jnp.bfloat16 if args.dtype == "bfloat16" else None
     )
     x = jax.random.uniform(jax.random.key(0), (args.batch, 4, *sp), jnp.float32)
     y = (jax.random.uniform(jax.random.key(1), (args.batch, 3, *sp)) > 0.5).astype(jnp.float32)
@@ -108,7 +128,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "factorizer_train_step",
+                "metric": f"{args.model}_train_step",
                 "spatial": args.spatial,
                 "batch": args.batch,
                 "dtype": args.dtype,

@@ -63,7 +63,22 @@ def measure() -> dict:
     fwd32_s = (bench._time(step32, x, 10) - bench._time(step32, x, 2)) / 8
 
     train_s, _ = bench._train_step_time(jnp.bfloat16)
-    return {"forward_s": fwd_s, "forward_f32_s": fwd32_s, "train_step_s_b2": train_s}
+
+    # Second flagship family: the deconver_brats23 operating point (VERDICT
+    # round 4, item 3 — 128^3 b2 train step exercising the packed update_s
+    # custom VJPs at flagship scale).
+    sys.path.insert(0, str(_REPO_ROOT / "tools"))
+    from bench_train import build_model
+
+    deconver = build_model("deconver", 128, jnp.bfloat16)
+    deconver_train_s, _ = bench._train_step_time(jnp.bfloat16, model=deconver)
+
+    return {
+        "forward_s": fwd_s,
+        "forward_f32_s": fwd32_s,
+        "train_step_s_b2": train_s,
+        "deconver_train_step_s_b2": deconver_train_s,
+    }
 
 
 def main() -> int:
