@@ -14,6 +14,7 @@ worker threads while the TPU trains (the DataLoader-workers analogue).
 from __future__ import annotations
 
 import math
+import os
 import threading
 from typing import Callable, Mapping, Optional, Sequence
 
@@ -225,7 +226,7 @@ class LoadImaged(MapTransform):
         for key in self.key_iterator(d):
             paths = d[key]
             if isinstance(paths, (list, tuple)):
-                if len(paths) > 1 and _resample_threads() != 1:
+                if len(paths) > 1 and _resample_threads() != 1 and (os.cpu_count() or 1) > 1:
                     # Multi-modality case: decode the files concurrently (the
                     # native NIfTI decoder and gzip release the GIL).  Inside
                     # forked loader workers this stays serial — the pool is

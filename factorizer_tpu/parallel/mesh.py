@@ -82,7 +82,10 @@ def model_parallel_mesh(
     """
     devices = jax.devices()
     n_proc = jax.process_count()
-    model = n_proc if model is None else model
+    if model is None:
+        # one model shard per host; single-host runs still get a model axis
+        # of 2 so the overlay is meaningful on one multi-chip VM
+        model = n_proc if n_proc > 1 else (2 if len(devices) % 2 == 0 else 1)
     data = len(devices) // model if data == -1 else data
     if data * model != len(devices):
         raise ValueError(f"{data}x{model} mesh over {len(devices)} devices")

@@ -151,16 +151,19 @@ def main() -> None:
     # upload leg (bf16 when amp: Evaluator casts on the host before transfer)
     from factorizer_tpu.train.loop import _upload_image
 
+    # the axon tunnel defers execution until a host fetch (block_until_ready
+    # does NOT force it — see .claude/skills/verify) — each leg ends with a
+    # 1-element fetch so the timed work actually ran
     t0 = time.perf_counter()
     img_dev = _upload_image(img_np, ev._input_dtype)
-    jax.block_until_ready(img_dev)
+    float(img_dev[0, 0, 0, 0, 0].astype(jnp.float32))
     t_upload = time.perf_counter() - t0
     upload_bytes = img_dev.size * img_dev.dtype.itemsize
 
     # device leg: windows + forwards + blend, result stays on device
     t0 = time.perf_counter()
     logits = ev.predict(img_dev)
-    jax.block_until_ready(logits)
+    float(jnp.max(logits))  # scalar fetch: forces compute, ~0 transfer
     t_device = time.perf_counter() - t0
 
     # fetch leg: threshold on device, fetch the uint8 mask (the real path)
