@@ -137,9 +137,14 @@ class RandomizableTransform(MapTransform):
         from .dataset import get_worker_epoch, get_worker_id
 
         wid = get_worker_id()
+        # the loader epoch is part of the stream identity: under
+        # persistent_workers the SAME process serves several epochs, so the
+        # cached generator must be re-derived when the epoch advances
+        loader_epoch = get_worker_epoch() if wid is not None else None
         if (
             getattr(local, "epoch", None) != self._rng_epoch
             or getattr(local, "wid", -1) != wid
+            or getattr(local, "loader_epoch", -1) != loader_epoch
         ):
             with self._spawn_lock:
                 if wid is None:
@@ -157,6 +162,7 @@ class RandomizableTransform(MapTransform):
                     )
                 local.epoch = self._rng_epoch
             local.wid = wid
+            local.loader_epoch = loader_epoch
             local.rng = np.random.Generator(np.random.PCG64(child))
         return local.rng
 

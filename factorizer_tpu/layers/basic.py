@@ -372,6 +372,23 @@ _depth_to_space_matmul.defvjp(_d2s_fwd, _d2s_bwd)
 # strided-slice matmuls, so the variant was deleted (PERFORMANCE.md).
 
 
+def _im2col_patches_matmul(x: Array, kernel: Array, ks: Sequence[int], pads) -> Array:
+    """``_im2col_matmul`` via XLA's conv_general_dilated_patches emitter.
+
+    Probe variant (``FTX_STEM=patches``): lets XLA build the column tensor
+    with its patch-extraction conv emitter instead of the 27-slice concat.
+    Patch features come out channel-major ``(c, *offsets)``, so the kernel
+    is reordered to match (exact same math; asserted in tests).
+    """
+    import jax.lax as lax
+
+    xt = jnp.moveaxis(x, -1, 1)  # channels-first for the patches op
+    p = lax.conv_general_dilated_patches(xt, tuple(ks), (1,) * len(ks), list(pads))
+    cols = jnp.moveaxis(p, 1, -1)
+    kflat = jnp.moveaxis(kernel, -2, 0).reshape(-1, kernel.shape[-1])
+    return cols @ kflat
+
+
 def _im2col_matmul(x: Array, kernel: Array, ks: Sequence[int], pads) -> Array:
     """Stride-1 conv as shifted-slice stacking + one matmul.
 
@@ -451,7 +468,10 @@ class _FastConv(nn.Module):
             and x.size * math.prod(ks) * x.dtype.itemsize <= _IM2COL_BYTES_CAP
             and os.environ.get("FTX_STEM", "im2col") != "conv"
         ):
-            y = _im2col_matmul(x, kernel, ks, self.padding)
+            if os.environ.get("FTX_STEM") == "patches":
+                y = _im2col_patches_matmul(x, kernel, ks, self.padding)
+            else:
+                y = _im2col_matmul(x, kernel, ks, self.padding)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

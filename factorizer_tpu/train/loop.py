@@ -466,6 +466,8 @@ def _model_input_dtype(model):
 
 
 def _upload_image(images, input_dtype) -> jnp.ndarray:
+    if isinstance(images, jax.Array):  # already on device: never round-trip
+        return images
     arr = np.asarray(images)
     if input_dtype is not None and arr.dtype == np.float32:
         arr = arr.astype(input_dtype)

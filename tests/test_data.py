@@ -411,6 +411,41 @@ class TestProcessLoader:
         assert set(e0) == set(e1)
         assert any(abs(e0[k] - e1[k]) > 1e-9 for k in e0)
 
+    def test_persistent_workers_epoch_streams_and_reuse(self):
+        """persistent_workers forks the pool ONCE and reuses it; the epoch
+        reaches workers through a shared value, so augmentation streams
+        still advance per epoch and batches stay correct across epochs."""
+        t = T.RandShiftIntensityd(["x"], prob=1.0, offsets=(0.0, 100.0))
+        t.set_random_state(7)
+        data = [{"x": np.zeros((4,), np.float32), "id": f"c{i}"} for i in range(4)]
+        ds = Dataset(data, transform=t)
+        dl = DataLoader(ds, batch_size=2, num_workers=2, use_processes=True,
+                        persistent_workers=True)
+
+        def epoch_values(epoch):
+            dl.set_epoch(epoch)
+            out = {}
+            for b in list(dl):
+                for cid, v in zip(b["id"], np.asarray(b["x"])[:, 0]):
+                    out[cid] = float(v)
+            return out
+
+        e0 = epoch_values(0)
+        pool_after_e0 = dl._pool
+        assert pool_after_e0 is not None  # pool created and kept
+        e1 = epoch_values(1)
+        assert dl._pool is pool_after_e0  # reused, not re-forked
+        assert set(e0) == set(e1)
+        # streams advanced: at least one augmentation differs across epochs
+        assert any(abs(e0[k] - e1[k]) > 1e-9 for k in e0)
+        # all items augmented in both epochs (streams live and per-worker;
+        # exact per-item values depend on which racing worker picked the
+        # item, so only distributional properties are asserted — same
+        # contract as the per-epoch-fork loader)
+        assert all(v != 0 for v in (*e0.values(), *e1.values()))
+        dl.close()
+        assert dl._pool is None
+
     def test_concurrent_process_loaders_keep_their_datasets(self):
         """Two process-mode loaders iterated in lockstep must each serve
         their OWN dataset (the shared-registry fork handoff is per-pool,

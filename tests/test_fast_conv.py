@@ -118,3 +118,21 @@ def test_dtype_kwargs_never_overrides_spec_dtype():
     assert dtype_kwargs((Conv, {"kernel_size": 3}), jnp.bfloat16) == {
         "dtype": jnp.bfloat16
     }
+
+
+def test_im2col_patches_variant_matches_concat():
+    """The FTX_STEM=patches probe path (conv_general_dilated_patches im2col)
+    computes exactly the same stem as the 27-slice concat formulation —
+    patch features come out channel-major, absorbed by a kernel reorder."""
+    import numpy as np
+
+    from factorizer_tpu.layers.basic import _im2col_matmul, _im2col_patches_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 8, 9, 10, 4), dtype=np.float32))
+    k = jnp.asarray(rng.random((3, 3, 3, 4, 6), dtype=np.float32))
+    pads = ((1, 1), (1, 1), (1, 1))
+    a = _im2col_matmul(x, k, (3, 3, 3), pads)
+    b = _im2col_patches_matmul(x, k, (3, 3, 3), pads)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

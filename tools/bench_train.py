@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def build_model(name: str, spatial: int, dtype):
+def build_model(name: str, spatial: int, dtype, remat: bool = False):
     """The bundle operating-point model configs (zoo/*_brats23 network_def)."""
     import factorizer_tpu as ftx
 
@@ -36,7 +36,7 @@ def build_model(name: str, spatial: int, dtype):
             encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
             strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
             norm=ftx.InstanceNorm, groups=-1, ratio=1, kernel_size=(3, 3, 3),
-            num_iters=1, mlp_ratio=4, dtype=dtype,
+            num_iters=1, mlp_ratio=4, dtype=dtype, remat=remat,
         )
     return ftx.Factorizer(
         in_channels=4,
@@ -53,6 +53,7 @@ def build_model(name: str, spatial: int, dtype):
         solver="hals",
         mlp_ratio=4,
         dtype=dtype,
+        remat=remat,
     )
 
 
@@ -63,6 +64,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--model", default="factorizer", choices=["factorizer", "deconver"])
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize stage activations (fits configs that OOM)")
     args = ap.parse_args()
 
     import optax
@@ -73,7 +76,8 @@ def main() -> None:
 
     sp = (args.spatial,) * 3
     model = build_model(
-        args.model, args.spatial, jnp.bfloat16 if args.dtype == "bfloat16" else None
+        args.model, args.spatial,
+        jnp.bfloat16 if args.dtype == "bfloat16" else None, remat=args.remat,
     )
     x = jax.random.uniform(jax.random.key(0), (args.batch, 4, *sp), jnp.float32)
     y = (jax.random.uniform(jax.random.key(1), (args.batch, 3, *sp)) > 0.5).astype(jnp.float32)
@@ -129,6 +133,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"{args.model}_train_step",
+                "remat": args.remat,
                 "spatial": args.spatial,
                 "batch": args.batch,
                 "dtype": args.dtype,

@@ -35,7 +35,7 @@ from factorizer_tpu.utils.jax_cache import configure_compile_cache
 configure_compile_cache()
 
 
-def build_models(dtype):
+def build_models(dtype, remat: bool = False):
     import factorizer_tpu as ftx
 
     return {
@@ -45,7 +45,7 @@ def build_models(dtype):
             encoder_depth=(1,) * 5, encoder_width=(32, 64, 128, 256, 512),
             strides=(1, 2, 2, 2, 2), decoder_depth=(1,) * 4,
             norm=ftx.InstanceNorm, groups=-1, ratio=1, kernel_size=(7, 7),
-            num_iters=1, mlp_ratio=4, dtype=dtype,
+            num_iters=1, mlp_ratio=4, dtype=dtype, remat=remat,
         ),
         # zoo/nnunet_fives network_def
         "nnunet_fives": ftx.DynUNet(
@@ -154,11 +154,13 @@ def main() -> None:
     ap.add_argument("--models", default="deconver_fives,nnunet_fives,segresnet_fives")
     ap.add_argument("--train", default="deconver_fives",
                     help="comma list of models to also train-step profile")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize stage activations in the train leg")
     ap.add_argument("--update", action="store_true", help="record in profiler.json")
     args = ap.parse_args()
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    models = build_models(dtype)
+    models = build_models(dtype, remat=args.remat)
     x1 = jax.random.uniform(
         jax.random.key(1), (1, 3, args.spatial, args.spatial), jnp.float32
     )
@@ -167,6 +169,7 @@ def main() -> None:
         "input_shape": [1, 3, args.spatial, args.spatial],
         "train_batch": args.batch,
         "dtype": args.dtype,
+        "remat": args.remat,
         "models": {},
     }
     train_set = set(filter(None, args.train.split(",")))
@@ -193,9 +196,13 @@ def main() -> None:
     if args.update:
         prof_path = _REPO / "profiler.json"
         prof = json.loads(prof_path.read_text()) if prof_path.exists() else {}
-        prof["fives_2d"] = out
+        key = "fives_2d_remat" if args.remat else "fives_2d"
+        prev = prof.get(key, {})
+        if prev.get("input_shape") == out["input_shape"]:
+            out["models"] = {**prev.get("models", {}), **out["models"]}
+        prof[key] = out
         prof_path.write_text(json.dumps(prof, indent=1))
-        print(f"recorded under 'fives_2d' in {prof_path}")
+        print(f"recorded under '{key}' in {prof_path}")
 
 
 if __name__ == "__main__":
