@@ -89,6 +89,7 @@ def factorizer_net(ds: dict) -> dict:
         "init_method": "uniform",
         "solver": "hals",
         "mlp_ratio": 4,
+        "remat": "@remat",
     }
 
 
@@ -111,6 +112,7 @@ def deconver_net(ds: dict) -> dict:
         "num_iters": 1,
         "num_grad_iters": None,
         "mlp_ratio": 4,
+        "remat": "@remat",
     }
 
 
@@ -272,6 +274,10 @@ def train_yaml(model: str, dataset: str) -> str:
         # Mixed precision (reference train.yaml:34): bfloat16 network
         # compute, float32 params/loss/solver math.
         "amp": False,
+        # Rematerialize stage activations in the backward (~35% step-time
+        # cost): lets configs that OOM a 16 GB chip train (e.g. this bundle
+        # at amp=false, batch 2, 128^3 — measured in PERFORMANCE.md).
+        "remat": False,
         # network
         "network_def": {
             "dtype": "$jnp.bfloat16 if @amp else None",
@@ -348,7 +354,14 @@ def train_yaml(model: str, dataset: str) -> str:
         },
         "run": ["$@trainer.run()"],
     }
-    return to_yaml(cfg).replace("amp: false", AMP_COMMENT + "amp: false", 1)
+    out = to_yaml(cfg).replace("amp: false", AMP_COMMENT + "amp: false", 1)
+    return out.replace(
+        "remat: false",
+        "# Rematerialize stage activations in the backward (~35% step cost):\n"
+        "# fits configs that OOM a 16 GB chip (see PERFORMANCE.md).\n"
+        "remat: false",
+        1,
+    )
 
 
 def train_multidevice_yaml() -> str:
