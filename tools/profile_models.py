@@ -185,6 +185,11 @@ def main() -> None:
             prev = json.loads(out_path.read_text())
             if prev.get("input_shape") == results["input_shape"]:
                 results["models"].update(prev.get("models", {}))
+            # preserve sibling artifacts (eval_native, fives_2d, ...) other
+            # tools record into the same file
+            for k, v in prev.items():
+                if k not in ("input_shape", "backend", "dtype", "models"):
+                    results[k] = v
         except (json.JSONDecodeError, OSError):
             pass
     for name in args.models.split(","):
