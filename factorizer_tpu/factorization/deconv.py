@@ -67,8 +67,14 @@ def batched_conv(
         ks = tuple(h.shape[3:])
         B, c = h.shape[0], h.shape[1]
         w = jnp.transpose(h[:, :, 0].reshape(B, c, -1), (0, 2, 1))  # (B, taps, C)
-        from ..ops.pallas.depthwise_packed import depthwise_conv3d_packed, supports_packed
+        from ..ops.pallas.depthwise_packed import (
+            depthwise_conv2d_packed,
+            depthwise_conv3d_packed,
+            supports_packed,
+        )
 
+        if s.ndim == 4:  # 2-D route is packed-only (checked by the gate)
+            return depthwise_conv2d_packed(s, w, ks)
         if USE_PACKED_DEPTHWISE and supports_packed(s.shape, ks):
             return depthwise_conv3d_packed(s, w, ks)
         from ..ops.pallas.depthwise_conv import depthwise_conv3d
@@ -122,9 +128,10 @@ USE_PALLAS_DEPTHWISE = False  # the v1 stencil; measured slower than XLA
 
 
 def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
-    """Route depthwise 3-D 'same'-padded convs through a Pallas stencil
-    kernel on TPU.  CPU keeps the lax path."""
-    if s.ndim != 5 or groups != s.shape[-1]:
+    """Route depthwise 'same'-padded convs (3-D, and 2-D through the packed
+    unit-dim view) through a Pallas stencil kernel on TPU.  CPU keeps the
+    lax path."""
+    if s.ndim not in (4, 5) or groups != s.shape[-1]:
         return False
     if h.shape[1] != groups or h.shape[2] != 1:
         return False
@@ -133,6 +140,12 @@ def _use_depthwise_kernel(s: Array, h: Array, padding, groups: int) -> bool:
         return False
     if not any(d.platform == "tpu" for d in jax.devices()):
         return False
+    if s.ndim == 4:
+        if not USE_PACKED_DEPTHWISE:
+            return False
+        from ..ops.pallas.depthwise_packed import supports_packed_2d
+
+        return supports_packed_2d(s.shape, ks)
     if USE_PACKED_DEPTHWISE:
         from ..ops.pallas.depthwise_packed import supports_packed
 
@@ -305,19 +318,27 @@ class Deconv(nn.Module):
             return False
         if self.groups_ != self.channels or self.source_channels_ != 1:
             return False
-        if x.shape != s.shape or x.ndim != 5:
+        if x.shape != s.shape or x.ndim not in (4, 5):
             return False
         if not any(d.platform == "tpu" for d in jax.devices()):
             return False
-        from ..ops.pallas.depthwise_packed import supports_packed
+        from ..ops.pallas.depthwise_packed import supports_packed, supports_packed_2d
 
+        if x.ndim == 4:
+            return supports_packed_2d(x.shape, self.kernel_size_)
         return supports_packed(x.shape, self.kernel_size_)
 
     def _update_s_packed(self, x: Array, s: Array, h: Array, h_adj: Array) -> Array:
         from ..ops.pallas.depthwise_packed import depthwise_conv3d_packed_core
 
         ks = self.kernel_size_
-        B, s1, s2, s3, c = x.shape
+        B, c = x.shape[0], x.shape[-1]
+        if x.ndim == 4:  # 2-D: the (B, 1, S1, S2, C) unit-dim view (free)
+            _, s1, s2, _ = x.shape
+            s1, s2, s3 = 1, s1, s2
+            ks = (1, *ks)
+        else:
+            _, s1, s2, s3, _ = x.shape
         rows = s3 * c // 128
 
         def taps(hh):

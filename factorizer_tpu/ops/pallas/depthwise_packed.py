@@ -35,6 +35,13 @@ Eligibility: 3-D channels-last, odd kernel, ``C <= 128``, ``128 % C == 0``,
 ``S3*C % 128 == 0`` (the flagship Deconver stages at 128^3/64^3 with
 C in {32, 64, 128} all qualify; larger-C stages run at tiny spatial dims
 where XLA's emitter is already cheap).
+
+2-D (FIVES) support: a ``(B, S1, S2, C)`` depthwise conv with kernel
+``(k1, k2)`` is the same kernel viewed as ``(B, 1, S1, S2, C)`` with
+``ks = (1, k1, k2)`` — dim-1 tap offsets become (free) sublane-block halo
+slices and dim-2 offsets become the packed ``(S2*C)`` shift.  The only
+structural change this needs is rectangular grid blocks (``bs1 = 1`` on
+the inserted unit dim); see :func:`depthwise_conv2d_packed`.
 """
 
 from __future__ import annotations
@@ -49,9 +56,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "depthwise_conv2d_packed",
     "depthwise_conv3d_packed",
     "depthwise_conv3d_packed_core",
     "supports_packed",
+    "supports_packed_2d",
 ]
 
 LANES = 128
@@ -61,13 +70,18 @@ def _on_tpu() -> bool:
     return any(d.platform == "tpu" for d in jax.devices())
 
 
-def _block_size(s1: int, s2: int) -> int:
+def _block_sizes(s1: int, s2: int) -> tuple[int, int]:
     # prefer larger dim-1/2 blocks: fewer grid steps + smaller halo fraction
-    # (measured on v5e at 128^3 C=32: bs=16 kernel 2.1 ms vs bs=8 4.1 ms)
-    for bs in (16, 8, 4, 2, 1):
-        if s1 % bs == 0 and s2 % bs == 0:
-            return bs
-    return 0
+    # (measured on v5e at 128^3 C=32: bs=16 kernel 2.1 ms vs bs=8 4.1 ms);
+    # per-dim so the 2-D mapping's unit dim takes bs=1 without shrinking the
+    # other dim's block
+    def one(s: int) -> int:
+        for bs in (16, 8, 4, 2, 1):
+            if s % bs == 0:
+                return bs
+        return 0
+
+    return one(s1), one(s2)
 
 
 def supports_packed(x_shape: tuple[int, ...], ks: tuple[int, ...]) -> bool:
@@ -80,7 +94,16 @@ def supports_packed(x_shape: tuple[int, ...], ks: tuple[int, ...]) -> bool:
         return False
     # (row rolls wrap within the block; out-of-range rows are masked by the
     # flat-index bound, so no extra row constraint is needed)
-    return _block_size(s1, s2) > 0
+    return 0 not in _block_sizes(s1, s2)
+
+
+def supports_packed_2d(x_shape: tuple[int, ...], ks: tuple[int, ...]) -> bool:
+    """Eligibility of the 2-D mapping: ``(B, S1, S2, C)`` with kernel
+    ``(k1, k2)`` viewed as ``(B, 1, S1, S2, C)`` / ``(1, k1, k2)``."""
+    if len(x_shape) != 4 or len(ks) != 2:
+        return False
+    b, s1, s2, c = x_shape
+    return supports_packed((b, 1, s1, s2, c), (1, *ks))
 
 
 def _shift_variant(x: Array, n: int, rows: int, s3c: int) -> Array:
@@ -105,23 +128,23 @@ def _shift_variant(x: Array, n: int, rows: int, s3c: int) -> Array:
     return jnp.where((flat >= 0) & (flat < s3c), v, 0.0)
 
 
-def _fwd_kernel(x_ref, w_ref, y_ref, *, ks, bs, rows, c, s3):
-    # x_ref: (1, bs+2r1, bs+2r2, rows, 128) halo block (packed, dims 1/2
-    # zero-padded); w_ref: (1, taps, 128); y_ref: (1, bs, bs, rows, 128)
+def _fwd_kernel(x_ref, w_ref, y_ref, *, ks, bs1, bs2, rows, c, s3):
+    # x_ref: (1, bs1+2r1, bs2+2r2, rows, 128) halo block (packed, dims 1/2
+    # zero-padded); w_ref: (1, taps, 128); y_ref: (1, bs1, bs2, rows, 128)
     k1, k2, k3 = ks
     x = x_ref[0].astype(jnp.float32)
     w = w_ref[0].astype(jnp.float32)
-    acc = jnp.zeros((bs, bs, rows, LANES), jnp.float32)
+    acc = jnp.zeros((bs1, bs2, rows, LANES), jnp.float32)
     for cc in range(k3):
         v = _shift_variant(x, (cc - k3 // 2) * c, rows, s3 * c)
         for a in range(k1):
             for b in range(k2):
                 t = (a * k2 + b) * k3 + cc
-                acc = acc + v[a : a + bs, b : b + bs] * w[t]
+                acc = acc + v[a : a + bs1, b : b + bs2] * w[t]
     y_ref[0] = acc.astype(y_ref.dtype)
 
 
-def _dw_kernel(x_ref, g_ref, dw_ref, *, ks, bs, rows, c, s3):
+def _dw_kernel(x_ref, g_ref, dw_ref, *, ks, bs1, bs2, rows, c, s3):
     # dw[t, lane] += sum_vox g[vox, lane] * shift_t(x)[vox, lane], revisiting
     # one (1, taps, 128) block across the (i, j) grid steps of a batch item.
     k1, k2, k3 = ks
@@ -134,7 +157,7 @@ def _dw_kernel(x_ref, g_ref, dw_ref, *, ks, bs, rows, c, s3):
         v = _shift_variant(x, (cc - k3 // 2) * c, rows, s3 * c)
         for a in range(k1):
             for b in range(k2):
-                prod = g * v[a : a + bs, b : b + bs]
+                prod = g * v[a : a + bs1, b : b + bs2]
                 part.append(jnp.sum(prod, axis=(0, 1, 2)))
     # reorder to row-major (k1, k2, k3) tap order
     order = [
@@ -157,20 +180,20 @@ def _dw_kernel(x_ref, g_ref, dw_ref, *, ks, bs, rows, c, s3):
         dw_ref[0] = dw_ref[0] + block
 
 
-def _specs(B, s1, s2, rows, r1, r2, bs):
+def _specs(B, s1, s2, rows, r1, r2, bs1, bs2):
     in_spec = pl.BlockSpec(
         (
             pl.Element(1),
-            pl.Element(bs + 2 * r1),
-            pl.Element(bs + 2 * r2),
+            pl.Element(bs1 + 2 * r1),
+            pl.Element(bs2 + 2 * r2),
             pl.Element(rows),
             pl.Element(LANES),
         ),
-        lambda b, i, j: (b, i * bs, j * bs, 0, 0),
+        lambda b, i, j: (b, i * bs1, j * bs2, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (1, bs, bs, rows, LANES),
+        (1, bs1, bs2, rows, LANES),
         lambda b, i, j: (b, i, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -217,18 +240,20 @@ def _fwd_fn(ks: tuple[int, int, int], c: int, partitioned: bool):
         k1, k2, k3 = ks
         r1, r2 = k1 // 2, k2 // 2
         s3 = rows * LANES // c
-        bs = _block_size(s1, s2)
+        bs1, bs2 = _block_sizes(s1, s2)
         taps = math.prod(ks)
         xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
         wp = jnp.tile(w, (1, 1, LANES // c))
-        in_spec, out_spec = _specs(B, s1, s2, rows, r1, r2, bs)
+        in_spec, out_spec = _specs(B, s1, s2, rows, r1, r2, bs1, bs2)
         w_spec = pl.BlockSpec(
             (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
+            functools.partial(
+                _fwd_kernel, ks=ks, bs1=bs1, bs2=bs2, rows=rows, c=c, s3=s3
+            ),
             out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
-            grid=(B, s1 // bs, s2 // bs),
+            grid=(B, s1 // bs1, s2 // bs2),
             in_specs=[in_spec, w_spec],
             out_specs=out_spec,
             interpret=not _on_tpu(),
@@ -264,17 +289,19 @@ def _dw_fn(ks: tuple[int, int, int], c: int, partitioned: bool):
         k1, k2, k3 = ks
         r1, r2 = k1 // 2, k2 // 2
         s3 = rows * LANES // c
-        bs = _block_size(s1, s2)
+        bs1, bs2 = _block_sizes(s1, s2)
         taps = math.prod(ks)
         xpp = jnp.pad(xp, ((0, 0), (r1, r1), (r2, r2), (0, 0), (0, 0)))
-        in_spec, g_spec = _specs(B, s1, s2, rows, r1, r2, bs)
+        in_spec, g_spec = _specs(B, s1, s2, rows, r1, r2, bs1, bs2)
         out_spec = pl.BlockSpec(
             (1, taps, LANES), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
-            functools.partial(_dw_kernel, ks=ks, bs=bs, rows=rows, c=c, s3=s3),
+            functools.partial(
+                _dw_kernel, ks=ks, bs1=bs1, bs2=bs2, rows=rows, c=c, s3=s3
+            ),
             out_shape=jax.ShapeDtypeStruct((B, taps, LANES), jnp.float32),
-            grid=(B, s1 // bs, s2 // bs),
+            grid=(B, s1 // bs1, s2 // bs2),
             in_specs=[in_spec, g_spec],
             out_specs=out_spec,
             interpret=not _on_tpu(),
@@ -357,3 +384,21 @@ def _dwc_bwd(ks, res, g):
 
 
 depthwise_conv3d_packed.defvjp(_dwc_fwd, _dwc_bwd)
+
+
+def depthwise_conv2d_packed(x: Array, w: Array, ks: tuple[int, int]) -> Array:
+    """Depthwise 2-D convolution, 'same' zero padding, per-batch taps.
+
+    The 2-D FIVES operating points (512^2, C in {32, 64, 128}) run the
+    3-D kernel through the ``(B, 1, S1, S2, C)`` view — a free reshape —
+    with kernel ``(1, k1, k2)``: dim-1 offsets become sublane halo slices
+    and dim-2 offsets the packed shift.  See :func:`supports_packed_2d`.
+
+    Args:
+        x: ``(B, S1, S2, C)`` channels-last image batch.
+        w: ``(B, taps, C)`` per-channel taps, row-major over ``ks``.
+        ks: odd 2-D kernel sizes.
+    """
+    B, s1, s2, c = x.shape
+    y = depthwise_conv3d_packed(x.reshape(B, 1, s1, s2, c), w, (1, *ks))
+    return y.reshape(x.shape)

@@ -125,6 +125,94 @@ def test_packed_vjp_matches_lax():
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=1e-3, rtol=1e-4)
 
 
+def _lax_depthwise_2d(x, w, ks):
+    # HIGHEST precision: on TPU the default conv precision is bf16, which
+    # would make the f32 Pallas kernel look ~3e-2 off when it is in fact
+    # the *more* accurate side (chip-measured 1e-6 vs HIGHEST).
+    B, _, c = w.shape
+
+    def one(x1, w1):
+        rhs = w1.reshape(*ks, c)[..., None, :]
+        return jax.lax.conv_general_dilated(
+            x1[None], rhs, (1, 1), [(k // 2, k // 2) for k in ks],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    return jax.vmap(one)(x, w)
+
+
+@pytest.mark.parametrize("shape,ks", [
+    ((1, 8, 16, 32), (3, 3)),    # pack=4, rows=4
+    ((2, 12, 16, 16), (5, 3)),   # rectangular bs=(4,16), pack=8, batch>1
+    ((1, 16, 8, 16), (7, 7)),    # FIVES-like kernel, rows=1
+])
+def test_packed_2d_forward_matches_lax(shape, ks):
+    assert dpk.supports_packed_2d(shape, ks)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape), jnp.float32)
+    w = jnp.asarray(rs.randn(shape[0], int(np.prod(ks)), shape[-1]), jnp.float32)
+    y = dpk.depthwise_conv2d_packed(x, w, ks)
+    y_ref = _lax_depthwise_2d(x, w, ks)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_packed_2d_vjp_matches_lax():
+    ks = (3, 3)
+    shape = (2, 8, 16, 32)
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(*shape), jnp.float32)
+    w = jnp.asarray(rs.randn(2, 9, 32), jnp.float32)
+
+    def f(x, w):
+        return jnp.sum(dpk.depthwise_conv2d_packed(x, w, ks) ** 2)
+
+    gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+
+    def f_ref(x, w):
+        return jnp.sum(_lax_depthwise_2d(x, w, ks) ** 2)
+
+    gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=1e-3, rtol=1e-4)
+
+
+def test_packed_2d_eligibility():
+    ok = dpk.supports_packed_2d
+    assert ok((1, 512, 512, 32), (7, 7))       # the FIVES stage-0 shape
+    assert not ok((1, 8, 8, 8), (3, 3))        # s2*c = 64 < 128
+    assert not ok((1, 8, 16, 32), (2, 3))      # even kernel
+    assert not ok((1, 8, 16, 256), (3, 3))     # c > 128
+    assert not ok((1, 8, 15, 32), (3, 3))      # s2*c % 128 != 0
+
+
+def test_packed_chain_update_s_2d_matches_lax(monkeypatch):
+    """Deconv's packed-resident update_s chain, 2-D mapping (fwd + grad)."""
+    import factorizer_tpu as ftx
+    from factorizer_tpu.factorization import deconv as dc
+
+    d = ftx.Deconv(channels=16, kernel_size=(3, 3), groups=-1, ratio=1, num_iters=2)
+    x = jax.random.uniform(jax.random.key(0), (1, 8, 16, 16), jnp.float32) + 0.1
+    v = d.init(jax.random.key(1), x)
+
+    y_ref = d.apply(v, x)  # CPU: chain ineligible -> lax path
+    monkeypatch.setattr(
+        dc.Deconv, "_packed_chain_eligible", lambda self, x, s, h: True
+    )
+    y_fast = d.apply(v, x)  # interpret-mode packed chain
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+    def loss(v):
+        return jnp.sum(d.apply(v, x) ** 2)
+
+    g_fast = jax.grad(loss)(v)
+    monkeypatch.undo()
+    g_ref = jax.grad(loss)(v)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=1e-3)
+
+
 def test_packed_eligibility():
     ok = dpk.supports_packed
     assert ok((1, 8, 8, 16, 32), (3, 3, 3))

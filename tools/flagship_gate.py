@@ -73,11 +73,19 @@ def measure() -> dict:
     deconver = build_model("deconver", 128, jnp.bfloat16)
     deconver_train_s, _ = bench._train_step_time(jnp.bfloat16, model=deconver)
 
+    # 2-D family: the deconver_fives operating point (512^2 b16 + remat,
+    # exercising the 2-D mapping of the lane-packed depthwise kernel).
+    from profile_2d import build_models, measure_train
+
+    fives = build_models(jnp.bfloat16, remat=True)["deconver_fives"]
+    fives_train_s = measure_train(fives, 16, 512)["train_step_s"]
+
     return {
         "forward_s": fwd_s,
         "forward_f32_s": fwd32_s,
         "train_step_s_b2": train_s,
         "deconver_train_step_s_b2": deconver_train_s,
+        "fives_train_step_s_b16": fives_train_s,
     }
 
 
