@@ -36,11 +36,13 @@ def dice_loss(
     Returns:
         Scalar mean Dice loss over batch and channels.
     """
-    # Loss math is pinned to f32 regardless of the network compute dtype
+    # Loss math is pinned to >= f32 regardless of the network compute dtype
     # (amp): reducing bf16 probabilities over 128^3 voxels loses the sum in
     # the 8-bit mantissa.  Matches torch.autocast, which computes losses f32.
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    # f64 inputs (x64 parity runs) keep f64 rather than truncating.
+    dt = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(dt)
+    targets = targets.astype(dt)
     probs = jax.nn.sigmoid(logits) if sigmoid else logits
     if not include_background:
         probs = jnp.take(probs, jnp.arange(1, probs.shape[channel_axis]), axis=channel_axis)
@@ -61,8 +63,9 @@ def dice_loss(
 
 def bce_with_logits(logits: Array, targets: Array) -> Array:
     """Numerically stable binary cross-entropy with logits (mean reduction)."""
-    logits = logits.astype(jnp.float32)  # f32 loss math under amp (see dice_loss)
-    targets = targets.astype(jnp.float32)
+    dt = jnp.promote_types(logits.dtype, jnp.float32)  # >= f32 (see dice_loss)
+    logits = logits.astype(dt)
+    targets = targets.astype(dt)
     # log(1 + exp(-|x|)) + max(x, 0) - x*t
     loss = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.mean(loss)
