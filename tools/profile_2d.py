@@ -103,14 +103,18 @@ def measure_forward(model, x, iters: int = 4) -> dict:
     }
 
 
-def measure_train(model, batch: int, spatial: int, iters: int = 3) -> dict:
+def measure_train(
+    model, batch: int, spatial: int, iters: int = 3,
+    in_ch: int = 3, out_ch: int = 1, dims: int = 2,
+) -> dict:
     import optax
 
     from factorizer_tpu.train.losses import dice_ce_loss
     from factorizer_tpu.train.trainer import TrainState, init_opt_state
 
-    x = jax.random.uniform(jax.random.key(0), (batch, 3, spatial, spatial), jnp.float32)
-    y = (jax.random.uniform(jax.random.key(1), (batch, 1, spatial, spatial)) > 0.5).astype(jnp.float32)
+    sp = (spatial,) * dims
+    x = jax.random.uniform(jax.random.key(0), (batch, in_ch, *sp), jnp.float32)
+    y = (jax.random.uniform(jax.random.key(1), (batch, out_ch, *sp)) > 0.5).astype(jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(2), x)
     tx = optax.adamw(1e-4)
     state = TrainState(
